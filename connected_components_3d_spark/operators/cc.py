@@ -1,0 +1,258 @@
+"""Connected components over an explicit edge table (SURVEY.md O6).
+
+Generalizes the reference's two-pass multilabel CCL kernel
+[cc3d:`cc3d.hpp::connected_components` — UNVERIFIED; /root/reference empty,
+SURVEY.md §0] to a distributed edge table. The distributed analogue of its
+two passes:
+
+  pass 1 (provisional labels + union-find)  →  block-local union-find over
+      per-partition edge blocks inside ``applyInPandas`` (numpy
+      Shiloach–Vishkin: vectorized hook + pointer-jump, no per-row Python);
+  pass 2 (flatten + relabel)                →  hash-min label exchange on the
+      contracted "star" graph to a global fixpoint, with pointer-jumping for
+      O(log d) convergence, then labels ARE the relabeling (component id =
+      min vertex id — canonical, deterministic, order-free; never `first()`).
+
+Every superstep optionally checkpoints labels + metrics to an
+Iceberg-style snapshot (sources/checkpoint.py) and the loop resumes from the
+latest committed step [BASELINE.json:14].
+
+Scale notes (100 TB / 10^12 pages):
+- The driver-side loop issues one Spark job per superstep; the plan is
+  truncated every step (checkpoint read-back or localCheckpoint), so lineage
+  never grows across iterations (SURVEY.md §4.3.1).
+- The block-UF contraction bounds the global loop's work by the number of
+  *boundary* vertices (vertices seen by >1 partition) — on a web graph with
+  locality-preserving ids the star graph is a small fraction of E.
+- Hash-min + pointer-jumping converges in O(log diameter) supersteps on the
+  contracted graph; min is decomposable so partial aggregation and salted
+  hot keys (operators/skew.py) are safe.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..sources import checkpoint as ckpt
+from .edges import symmetrize, vertices
+
+_STAR_SCHEMA = StructType(
+    [StructField("vertex", LongType()), StructField("root", LongType())]
+)
+
+
+@dataclass
+class CCResult:
+    components: DataFrame  # (vertex:long, component:long), component = min id
+    num_supersteps: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+# --------------------------------------------------------------------------
+# block-local union-find (vectorized Shiloach–Vishkin in numpy)
+# --------------------------------------------------------------------------
+
+
+def _local_cc_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vertex → min-id-of-local-component for one edge block.
+
+    Vectorized hook + full pointer-jump; O(log n) passes, no Python loop over
+    edges. Mirrors the reference's union-find (path compression + union by
+    min — we use min-id instead of size to make labels canonical).
+    """
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u = inv[: len(src)]
+    v = inv[len(src) :]
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        pu = parent[u]
+        pv = parent[v]
+        lo = np.minimum(pu, pv)
+        hi = np.maximum(pu, pv)
+        changed = bool((pu != pv).any())
+        np.minimum.at(parent, hi, lo)
+        # full shortcut: parent = parent[parent] to fixpoint
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if not changed:
+            break
+    return ids, ids[parent]
+
+
+def _block_uf(pdf: pd.DataFrame) -> pd.DataFrame:
+    ids, roots = _local_cc_numpy(
+        pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)
+    )
+    return pd.DataFrame({"vertex": ids, "root": roots})
+
+
+def block_contract(edges_sym: DataFrame, num_blocks: int) -> DataFrame:
+    """Per-partition union-find contraction → star edges (vertex, root).
+
+    Each block's edge set is replaced by a star to the block-local min vertex;
+    the union of stars has the same connected components as the input
+    (each block's edges are replaced by a spanning structure of themselves).
+    """
+    return (
+        edges_sym.withColumn(
+            "block", F.pmod(F.xxhash64("src"), F.lit(num_blocks)).cast("int")
+        )
+        .groupBy("block")
+        .applyInPandas(_block_uf, schema=_STAR_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# global hash-min fixpoint with pointer jumping
+# --------------------------------------------------------------------------
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage so the iterative plan doesn't grow across supersteps."""
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    method: str = "blockuf",
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    num_blocks: int | None = None,
+    resume: bool = True,
+) -> CCResult:
+    """CC over a directed or undirected edge table.
+
+    Returns ``components(vertex, component)`` with component = min vertex id
+    of the equivalence class (cc3d parity is checked on equivalence classes
+    under canonical relabeling [BASELINE.json:2]).
+
+    method:
+      "hashmin"  — pure hash-min + pointer jumping on the full edge set
+                   (baseline / oracle path, SURVEY.md M2)
+      "blockuf"  — block-local numpy union-find contraction first, then the
+                   same loop on the contracted star graph (SURVEY.md M3)
+    """
+    if num_blocks is None:
+        num_blocks = max(spark.sparkContext.defaultParallelism, 8)
+
+    verts = vertices(edges)
+    e_sym = symmetrize(edges)
+
+    metrics: list[dict] = []
+    start_step = 0
+    labels: DataFrame | None = None
+
+    if checkpoint_dir and resume:
+        latest = ckpt.latest_valid_step(checkpoint_dir)
+        if latest is not None:
+            m = ckpt.read_manifest(checkpoint_dir, latest)
+            labels = ckpt.read_checkpoint(spark, checkpoint_dir, latest)
+            if m["metrics"].get("converged"):
+                return CCResult(
+                    labels.select("vertex", F.col("label").alias("component")),
+                    latest,
+                    [m["metrics"]],
+                )
+            start_step = latest + 1
+
+    if method == "blockuf":
+        stars = block_contract(e_sym, num_blocks)
+        # head start: best (min) local root per vertex
+        init = stars.groupBy("vertex").agg(F.min("root").alias("label"))
+        prop_edges = _truncate(
+            symmetrize(
+                stars.where(F.col("vertex") != F.col("root")).select(
+                    F.col("vertex").alias("src"), F.col("root").alias("dst")
+                )
+            )
+        )
+        if labels is None:
+            labels = _truncate(init)
+    elif method == "hashmin":
+        prop_edges = _truncate(e_sym)
+        if labels is None:
+            labels = _truncate(
+                verts.select("vertex", F.col("vertex").alias("label"))
+            )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    n_edges = prop_edges.count()
+    step = start_step
+    converged = False
+    for step in range(start_step, max_iter):
+        t0 = time.time()
+        # (1) neighbor-min along symmetric edges
+        nbr_min = (
+            prop_edges.join(labels, prop_edges.src == labels.vertex)
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "vertex", "left").select(
+            "vertex",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "mid_label"
+            ),
+        )
+        # (2) pointer jump: label ← label(label) (labels map is total: every
+        # label value is a vertex id present in `labels`)
+        jump = labels.select(
+            F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
+        )
+        new_labels = stepped.join(
+            jump, stepped.mid_label == jump.j_vertex, "left"
+        ).select(
+            "vertex",
+            "old_label",
+            F.least(
+                F.col("mid_label"), F.coalesce("j_label", F.col("mid_label"))
+            ).alias("label"),
+        )
+        new_labels = _truncate(new_labels)
+        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("vertex", "label")
+        wall = time.time() - t0
+        converged = changed == 0
+        m = {
+            "superstep": step,
+            "labels_changed": changed,
+            "edges_active": n_edges,
+            "wall_s": round(wall, 4),
+            "edges_per_sec": round(n_edges / wall, 1) if wall > 0 else None,
+            "method": method,
+            "converged": converged,
+        }
+        metrics.append(m)
+        if checkpoint_dir and (step % checkpoint_every == 0 or converged):
+            ckpt.write_checkpoint(labels, checkpoint_dir, step, m)
+            labels = ckpt.read_checkpoint(spark, checkpoint_dir, step)
+        if converged:
+            break
+    if not converged:
+        raise RuntimeError(f"CC did not converge within {max_iter} supersteps")
+
+    # compose back onto the full vertex set (blockuf labels cover exactly the
+    # vertices of the original edges since every vertex appears in ≥1 block)
+    components = verts.join(labels, "vertex", "left").select(
+        "vertex", F.coalesce("label", F.col("vertex")).alias("component")
+    )
+    return CCResult(components, step + 1, metrics)
+
+
+def num_components(components: DataFrame) -> int:
+    """Reference's ``return_N`` (R3)."""
+    return components.select(F.countDistinct("component")).collect()[0][0]

@@ -1,0 +1,131 @@
+"""Label propagation (semi-synchronous, deterministic ties) — SURVEY.md O8.
+
+Per iteration every vertex adopts the most frequent label among its
+neighbors; ties break to the SMALLEST label (deterministic — the whole
+update is order-free, so results are identical under any partitioning;
+Catalyst must never pick `first()`-style nondeterminism, SURVEY.md §4.3.5).
+Isolated vertices keep their label. Synchronous LPA can 2-cycle on bipartite
+structures, so convergence is "no change OR max_iter"; the parity oracle runs
+a single-node implementation with the SAME rule for the SAME iteration count
+(exact match [BASELINE.json:6]).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .edges import symmetrize, vertices
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # (vertex:long, label:long)
+    num_iters: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    initial_labels: DataFrame | None = None,
+    max_iter: int = 20,
+    fixed_iters: int | None = None,
+) -> LPAResult:
+    """LPA over the undirected view of ``edges``.
+
+    ``initial_labels(vertex, label)`` defaults to label = vertex id.
+    ``fixed_iters`` runs exactly k sync updates (oracle-parity mode).
+    """
+    e = _truncate(symmetrize(edges))
+    verts = vertices(e)
+    if initial_labels is None:
+        labels = verts.select("vertex", F.col("vertex").alias("label"))
+    else:
+        labels = verts.join(initial_labels, "vertex", "left").select(
+            "vertex", F.coalesce("label", F.col("vertex")).alias("label")
+        )
+    labels = _truncate(labels)
+
+    n_edges = e.count()
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("nbr_label"))
+    for it in range(iters):
+        t0 = time.time()
+        # neighbor label histogram: for edge (src,dst), dst sees src's label
+        nbr = (
+            e.join(labels.withColumnRenamed("vertex", "src"), "src")
+            .groupBy(F.col("dst").alias("vertex"), F.col("label").alias("nbr_label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vertex", F.col("nbr_label").alias("new_label"))
+        )
+        new_labels = labels.join(best, "vertex", "left").select(
+            "vertex",
+            F.col("label").alias("old_label"),
+            F.coalesce("new_label", F.col("label")).alias("label"),
+        )
+        new_labels = _truncate(new_labels)
+        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("vertex", "label")
+        wall = time.time() - t0
+        metrics.append(
+            {
+                "iter": it,
+                "labels_changed": changed,
+                "wall_s": round(wall, 4),
+                "edges_per_sec": round(n_edges / wall, 1) if wall > 0 else None,
+            }
+        )
+        if fixed_iters is None and changed == 0:
+            converged = True
+            break
+    if fixed_iters is not None:
+        converged = True
+    return LPAResult(labels, it + 1, converged, metrics)
+
+
+def lpa_single_node(
+    edges: list[tuple[int, int]],
+    initial: dict[int, int] | None = None,
+    iters: int = 10,
+) -> dict[int, int]:
+    """Single-node reference LPA with the SAME tie rule (test oracle,
+    FIXTURES.md §4 g_lpa)."""
+    from collections import Counter, defaultdict
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    verts = sorted(adj.keys())
+    labels = {v: (initial.get(v, v) if initial else v) for v in verts}
+    for _ in range(iters):
+        new = {}
+        for v in verts:
+            if not adj[v]:
+                new[v] = labels[v]
+                continue
+            counts = Counter(labels[u] for u in adj[v])
+            best_cnt = max(counts.values())
+            new[v] = min(l for l, c in counts.items() if c == best_cnt)
+        if new == labels:
+            break
+        labels = new
+    return labels

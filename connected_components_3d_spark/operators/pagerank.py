@@ -1,0 +1,133 @@
+"""PageRank: power iteration with dangling-mass redistribution (SURVEY.md O7).
+
+Matches networkx's ``pagerank`` semantics exactly (float64 throughout):
+  x0 = 1/N;  per iteration
+  danglesum = alpha * Σ x_last[dangling]
+  x[v] = alpha * Σ_{u→v} x_last[u]/outdeg(u)  +  danglesum/N  +  (1-alpha)/N
+  stop when Σ|x - x_last| < N * tol   (networkx's L1 criterion)
+
+Parity gate: allclose 1e-6 vs networkx at convergence [BASELINE.json:6].
+
+Spark shape per iteration: one join (ranks ⋈ edges, shuffle on src — edges
+are pre-partitioned once and reused every iteration) + one groupBy(dst).sum
+(partial+final agg) + a broadcast of two scalars (danglesum, err). The
+dangling-mass scalar and the L1 error are computed in the SAME pass over the
+new ranks (single action per superstep, SURVEY.md §4.3.4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .edges import vertices
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (vertex:long, rank:double)
+    num_iters: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+    fixed_iters: int | None = None,
+) -> PageRankResult:
+    """PageRank on the DIRECTED edge table (duplicate edges are dropped —
+    simple-graph semantics, matching a networkx DiGraph built from the same
+    pairs). ``fixed_iters`` disables the convergence test (used for the
+    SQL-oracle parity path where duckdb runs the same k chained iterations).
+    """
+    e = _truncate(edges.select("src", "dst").distinct())
+    verts = _truncate(vertices(e))
+    n = verts.count()
+    if n == 0:
+        return PageRankResult(
+            verts.select(
+                F.col("vertex"), F.lit(0.0).alias("rank")
+            ),
+            0,
+            True,
+        )
+
+    out_deg = e.groupBy(F.col("src").alias("vertex")).agg(
+        F.count("*").alias("out_deg")
+    )
+    # static per-vertex frame: out_deg (0 → dangling), reused every iteration
+    vstat = _truncate(
+        verts.join(out_deg, "vertex", "left").select(
+            "vertex", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+        )
+    )
+
+    ranks = _truncate(vstat.select("vertex", "out_deg", F.lit(1.0 / n).alias("rank")))
+
+    n_edges = e.count()
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    # danglesum for iteration 0 (x0 uniform): alpha * n_dangling / n
+    dangle0 = ranks.where(F.col("out_deg") == 0).count()
+    danglesum = alpha * dangle0 / n
+    for it in range(iters):
+        t0 = time.time()
+        contribs = (
+            e.join(ranks.where(F.col("out_deg") > 0), e.src == F.col("vertex"))
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = danglesum / n + (1.0 - alpha) / n
+        new_ranks = ranks.join(contribs, "vertex", "left").select(
+            "vertex",
+            "out_deg",
+            F.col("rank").alias("old_rank"),
+            (F.lit(alpha) * F.coalesce("contrib", F.lit(0.0)) + F.lit(base)).alias(
+                "rank"
+            ),
+        )
+        new_ranks = _truncate(new_ranks)
+        # ONE action per superstep: L1 error + NEXT iteration's dangling mass
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("err"),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))).alias("dangle"),
+        ).collect()[0]
+        err = row["err"]
+        danglesum = alpha * (row["dangle"] or 0.0)
+        wall = time.time() - t0
+        if fixed_iters is None:
+            converged = err < n * tol
+        ranks = new_ranks.select("vertex", "out_deg", "rank")
+        metrics.append(
+            {
+                "iter": it,
+                "l1_err": err,
+                "wall_s": round(wall, 4),
+                "edges_per_sec": round(n_edges / wall, 1) if wall > 0 else None,
+            }
+        )
+        if converged:
+            break
+    if fixed_iters is not None:
+        converged = True
+    return PageRankResult(
+        ranks.select("vertex", "rank"), it + 1, converged, metrics
+    )

@@ -1,0 +1,74 @@
+"""SparkSession factory with the engine's pinned configuration.
+
+Design notes (SURVEY.md §4.2): every optimization the reference hand-rolls
+either falls out of Catalyst for free (predicate pushdown, partial
+aggregation, broadcast-join selection, AQE skew splitting, whole-stage
+codegen) or lives inside our pandas-UDF kernels — no custom Catalyst rules.
+We pin:
+
+- AQE on (runtime partition coalescing + skew-join splitting is the built-in
+  backstop behind our explicit salting, operators/skew.py);
+- Arrow execution on (every Python crossing is an Arrow batch, never a row);
+- UTC session timezone (duckdb oracle comparison — duckdb timestamps are
+  UTC-naive);
+- shuffle partitions sized to cores for local mode (the 200 default
+  over-parallelizes sandbox scale; on a real cluster this is set per-job to
+  ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "cc3d-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's pinned confs.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points serve pytest, the driver harness, and the
+    two-parallelism-level scaling bench (local[8] vs local[32]).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Iterative kernels re-read small checkpoint tables many times; keep
+        # the broadcast threshold at default 10MB so vertex-side dims of the
+        # sandbox scale broadcast automatically.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the scaling bench to switch masters)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,130 @@
+"""Superstep checkpointing with per-partition lineage + metrics (north rule:
+"resumable from checkpoint with per-partition lineage + metrics"
+[BASELINE.json:14]).
+
+Layout (Iceberg-snapshot-shaped — data files + a metadata manifest — so
+swapping in real Iceberg is a sink-config change, not a redesign; no Iceberg
+runtime jars exist in this sandbox, SURVEY.md §0/§4.4)::
+
+    <ckpt_dir>/step=<k>/data/part-*.parquet      labels / frontier state
+    <ckpt_dir>/step=<k>/_manifest.json           snapshot metadata
+
+Manifest fields: step, rows, schema, per-file lineage (name, bytes, md5),
+engine metrics (labels_changed, edges_active, wall_s, edges_per_sec), and a
+``committed`` flag written LAST — a crash mid-write leaves no committed
+manifest, so resume (= scan for largest committed step) is safe. Writes go
+to a temp dir then atomically rename, making re-runs of a step idempotent.
+
+At 100 TB scale the md5-per-file lineage would be replaced by Iceberg's own
+snapshot/manifest chain (file-level stats come free from the commit); the
+layout here keeps that contract at sandbox scale with plain parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+def _step_dir(ckpt_dir: str, step: int) -> str:
+    return os.path.join(ckpt_dir, f"step={step}")
+
+
+def write_checkpoint(
+    df: DataFrame,
+    ckpt_dir: str,
+    step: int,
+    metrics: dict[str, Any] | None = None,
+) -> str:
+    """Write one superstep's state atomically; returns the step dir."""
+    sdir = _step_dir(ckpt_dir, step)
+    tmp = sdir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(sdir):
+        shutil.rmtree(sdir)  # idempotent re-run of an uncommitted/stale step
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+    files = []
+    data_dir = os.path.join(tmp, "data")
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(data_dir, name)
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        files.append(
+            {"file": name, "bytes": os.path.getsize(path), "md5": h.hexdigest()}
+        )
+    manifest = {
+        "step": step,
+        "schema": df.schema.jsonValue(),
+        "files": files,
+        "metrics": dict(metrics or {}),
+        "write_wall_s": round(time.time() - t0, 3),
+        "committed": True,
+    }
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, sdir)
+    return sdir
+
+
+def read_manifest(ckpt_dir: str, step: int) -> dict[str, Any] | None:
+    path = os.path.join(_step_dir(ckpt_dir, step), MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    return m if m.get("committed") else None
+
+
+def validate_step(ckpt_dir: str, step: int) -> bool:
+    """Lineage check: every manifest file exists with matching size+md5."""
+    m = read_manifest(ckpt_dir, step)
+    if m is None:
+        return False
+    data_dir = os.path.join(_step_dir(ckpt_dir, step), "data")
+    for entry in m["files"]:
+        path = os.path.join(data_dir, entry["file"])
+        if not os.path.exists(path) or os.path.getsize(path) != entry["bytes"]:
+            return False
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != entry["md5"]:
+            return False
+    return True
+
+
+def latest_valid_step(ckpt_dir: str) -> int | None:
+    """Largest step with a committed, lineage-valid manifest (resume point)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(
+        (
+            int(d.split("=", 1)[1])
+            for d in os.listdir(ckpt_dir)
+            if d.startswith("step=") and not d.endswith(".tmp")
+        ),
+        reverse=True,
+    )
+    for s in steps:
+        if validate_step(ckpt_dir, s):
+            return s
+    return None
+
+
+def read_checkpoint(spark: SparkSession, ckpt_dir: str, step: int) -> DataFrame:
+    return spark.read.parquet(os.path.join(_step_dir(ckpt_dir, step), "data"))
