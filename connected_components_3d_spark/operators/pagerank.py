@@ -131,3 +131,53 @@ def pagerank(
     return PageRankResult(
         ranks.select("vertex", "rank"), it + 1, converged, metrics
     )
+
+
+def pagerank_single_node(
+    pairs: list[tuple[int, int]],
+    alpha: float = 0.85,
+    tol: float = 1.0e-6,
+    max_iter: int = 100,
+    fixed_iters: int | None = None,
+) -> dict[int, float]:
+    """Single-node reference implementation — the parity oracle.
+
+    Replicates networkx's pure-Python power iteration exactly (uniform start,
+    dangling mass redistributed uniformly, L1 stop err < N·tol). networkx
+    3.6 delegates ``pagerank`` to scipy, which this sandbox lacks
+    (SURVEY.md §0 [env]), so the oracle is spelled out here; the semantics are
+    the published PageRank recurrence, public knowledge.
+    """
+    from collections import defaultdict
+
+    succ: dict[int, set[int]] = defaultdict(set)
+    nodes: set[int] = set()
+    for u, v in pairs:
+        nodes.add(u)
+        nodes.add(v)
+        if True:  # simple-graph semantics: duplicates collapse via the set
+            succ[u].add(v)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    p = 1.0 / n
+    x = {v: p for v in nodes}
+    dangling = [v for v in nodes if not succ[v]]
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    for _ in range(iters):
+        xlast = x
+        x = {v: 0.0 for v in nodes}
+        danglesum = alpha * sum(xlast[v] for v in dangling)
+        for v in nodes:
+            od = len(succ[v])
+            for nbr in succ[v]:
+                x[nbr] += alpha * xlast[v] / od
+        for v in nodes:
+            x[v] += danglesum * p + (1.0 - alpha) * p
+        if fixed_iters is None:
+            err = sum(abs(x[v] - xlast[v]) for v in nodes)
+            if err < n * tol:
+                return x
+    if fixed_iters is None:
+        raise RuntimeError(f"single-node pagerank did not converge in {max_iter}")
+    return x

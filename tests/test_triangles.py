@@ -1,0 +1,51 @@
+"""Triangle counting vs networkx (FIXTURES.md §4/§5)."""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from connected_components_3d_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_edge,
+    triangles_per_vertex,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def test_two_cliques(spark):
+    pairs = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    pairs += [(100 + i, 100 + j) for i in range(10) for j in range(i + 1, 10)]
+    pairs.append((5, 105))  # bridge participates in no triangle
+    e = edges_df(spark, pairs)
+    assert triangle_count(e) == 2 * 120  # 2 * C(10,3)
+    per_edge = {(r.src, r.dst): r.n_tri for r in triangles_per_edge(e).collect()}
+    assert per_edge[(5, 105)] == 0
+    assert per_edge[(0, 1)] == 8  # within K10 every edge closes with 8 vertices
+
+
+def test_random_vs_networkx(spark):
+    g = nx.gnp_random_graph(150, 0.08, seed=42)
+    e = edges_df(spark, list(g.edges()))
+    want_v = nx.triangles(g)
+    got_v = {r.vertex: r.n_tri for r in triangles_per_vertex(e).collect()}
+    assert got_v == {v: c for v, c in want_v.items()}
+    assert triangle_count(e) == sum(want_v.values()) // 3
+    # per-edge: n_tri(u,v) == |N(u) ∩ N(v)|
+    got_e = {(r.src, r.dst): r.n_tri for r in triangles_per_edge(e).collect()}
+    for (u, v), c in got_e.items():
+        assert c == len(set(g[u]) & set(g[v])), (u, v)
+    assert set(got_e) == {(min(u, v), max(u, v)) for u, v in g.edges()}
+
+
+def test_directed_duplicate_input_ok(spark):
+    # duplicates + both directions + self loops must not change counts
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    e = edges_df(spark, pairs)
+    assert triangle_count(e) == 1
+    got = {(r.src, r.dst): r.n_tri for r in triangles_per_edge(e).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
