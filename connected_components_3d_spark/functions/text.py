@@ -1,0 +1,151 @@
+"""Text-analysis column functions for training-data pipelines: tokenization,
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Every function here is a NATIVE column expression (whole-stage codegen'd —
+no Python in the hot path), built from a dialect-neutral core so the duckdb
+oracle runs the literally-equivalent SQL (__spark_entry__.py): md5 for
+hashing (identical across engines, unlike xxhash64), character classes
+without backslash escapes (Java regex vs RE2 quoting differs), sequential
+left-fold sums for float work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# deterministic stopword lists (tiny, fixed — parity over linguistics)
+STOPWORDS = {
+    "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "auf"],
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+_TOKEN_NORM = "[^a-z0-9]+"
+_BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def tokens(col: str | Column) -> Column:
+    """lowercase word tokens; '' filtered. Identical to the duckdb oracle's
+    list_filter(string_split_regex(regexp_replace(lower(t),...)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(c), _TOKEN_NORM, " "), " "),
+        lambda w: w != F.lit(""),
+    )
+
+
+def distinct_tokens(col: str | Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count_ws(col: str | Column) -> Column:
+    """whitespace-ish token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe(col: str | Column) -> Column:
+    """BPE-ish token count: letter runs + single digits + punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(_BPE_ISH), 0))
+
+
+def _stopword_hits(toks: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), sw))
+
+
+def lang_id(col: str | Column) -> Column:
+    """n-gram/stopword heuristic language ID over {de,en,fr}; ties break
+    alphabetically (deterministic); no tokens → 'und'."""
+    toks = tokens(col)
+    de, en, fr = (
+        _stopword_hits(toks, "de"),
+        _stopword_hits(toks, "en"),
+        _stopword_hits(toks, "fr"),
+    )
+    best = F.greatest(de, en, fr)
+    return (
+        F.when(F.size(toks) == 0, F.lit("und"))
+        .when(de == best, F.lit("de"))
+        .when(en == best, F.lit("en"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_features(col: str | Column) -> dict[str, Column]:
+    """Deterministic quality signals: length, token stats, punctuation ratio,
+    stopword ratio — the standard web-text quality heuristics."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(col)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    mean_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    n_punct = F.size(F.regexp_extract_all(F.lower(c), F.lit("[^a-z0-9 ]"), 0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(
+            F.filter(
+                toks,
+                lambda w: w.isin(
+                    *(STOPWORDS["en"] + STOPWORDS["de"] + STOPWORDS["fr"])
+                ),
+            )
+        ).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Scalar score in [0,1]: rewards mid-length docs with word-like tokens
+    and some stopwords; penalizes punctuation soup. Fixed public formula —
+    value lies in determinism + parity, not linguistics."""
+    f = quality_features(col)
+    len_term = F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+    word_term = F.when(
+        (f["mean_token_len"] >= 2.0) & (f["mean_token_len"] <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 4.0, F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    return F.round(
+        0.4 * len_term + 0.2 * word_term + 0.2 * punct_term + 0.2 * stop_term, 6
+    )
+
+
+def shingles(toks: Column, n: int, sep: str = "_") -> Column:
+    """n-gram shingles over a token array (slice + join; both dialects)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), sep),
+    )
+
+
+def fingerprint(col: str | Column, n: int = 3) -> Column:
+    """Document fingerprint: md5 over the sorted set of mod-sampled 3-gram
+    shingle hashes (winnowing-style 1/4 selection on the first hex digit,
+    deterministic); short docs where nothing samples fall back to ALL shingle
+    hashes so tiny documents still fingerprint distinctly.
+    Returns a 32-hex string; equal fingerprints ⇒ near-identical content."""
+    sh = shingles(distinct_tokens(col), n)
+    hashed = F.array_sort(F.array_distinct(F.transform(sh, lambda s: F.md5(s))))
+    selected = F.filter(
+        hashed, lambda h: F.substring(h, 1, 1).isin("0", "1", "2", "3")
+    )
+    chosen = F.when(F.size(selected) > 0, selected).otherwise(hashed)
+    return F.md5(F.array_join(chosen, ","))

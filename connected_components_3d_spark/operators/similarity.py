@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk_brute``: exact top-k neighbors per query vector via an
+  all-pairs join — the correctness baseline (oracle-comparable: the dot
+  product is a sequential left-fold over double-cast elements, so Spark and
+  duckdb produce bit-identical sums; ranking ties break on (rounded cosine
+  desc, id asc) so the selected SET is engine-stable).
+- ``cosine_topk_lsh``: random-hyperplane LSH bucketing — the scale path.
+  Buckets are deterministic (hyperplane signs derived from md5(plane, dim)),
+  candidates are same-bucket pairs, exact cosine re-ranks within bucket.
+  At 100 TB you shard buckets (they're the shuffle key) and probe multiple
+  tables; here one table + optional multi-probe by flipping one bit.
+
+No UDFs: zip_with/aggregate are codegen'd JVM lambdas over the Arrow-backed
+array column (SURVEY.md "stay JVM-side").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold Σ aᵢ·bᵢ in double — order-stable across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    v = F.col(vec_col)
+    return emb.select(
+        F.col(id_col).alias("id"), v.alias("vec"), F.sqrt(_dot(v, v)).alias("norm")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """All ordered pairs (id_a != id_b) with rounded cosine. O(n²) — baseline
+    only; callers at scale go through the LSH path."""
+    base = with_norm(emb, vec_col, id_col)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+
+
+def cosine_topk_brute(
+    emb: DataFrame, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k neighbors per vector: (id_a, id_b, cos, rn)."""
+    pairs = cosine_pairs(emb, vec_col, id_col)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Unordered near-duplicate pairs by cosine ≥ threshold (id_a < id_b)."""
+    return cosine_pairs(emb, vec_col, id_col).where(
+        (F.col("cos") >= threshold) & (F.col("id_a") < F.col("id_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
+    """sign(Σᵢ vᵢ·hᵢ) with hᵢ = ±1 from md5('<table>_<plane>_<i>') —
+    deterministic pseudo-hyperplane, identical under any partitioning
+    (no RNG state)."""
+    high = list("89abcdef")
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, i: x.cast("double")
+            * F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{table}_{plane}_"), i.cast("string"))),
+                    1,
+                    1,
+                ).isin(high),
+                1.0,
+            ).otherwise(-1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    num_planes: int = 8,
+    num_tables: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, norm, table, bucket) — per LSH table, bucket = sign bits of
+    ``num_planes`` hyperplane projections. Multiple independent tables are
+    the standard recall amplifier: P(collide in ≥1 table) = 1-(1-p^b)^L."""
+    base = with_norm(emb, vec_col, id_col)
+    per_table = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for p in range(num_planes):
+            bucket = bucket + _hyperplane_sign(F.col("vec"), t, p) * (1 << p)
+        per_table.append(
+            base.withColumn("table", F.lit(t)).withColumn(
+                "bucket", bucket.cast("int")
+            )
+        )
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank over candidates that share a
+    bucket in ANY of ``num_tables`` LSH tables.
+
+    Work/recall dials: planes shrink buckets (each plane halves expected
+    bucket size → the bucket join distributes on (table, bucket)); tables
+    multiply recall. Approximate by construction → verified with a recall@k
+    floor, not exact parity.
+    """
+    b = lsh_buckets(emb, num_planes, num_tables, vec_col, id_col)
+    a = b.select("table", "bucket", F.col("id").alias("id_a"))
+    c = b.select("table", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    base = with_norm(emb, vec_col, id_col)
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
