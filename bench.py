@@ -1,0 +1,116 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": <sum sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "north": {...}}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the
+driver-table queries; the flagship web pipeline runs on the deterministic
+synthetic pages table (no external data), sized by $SPARK_GRAFT_BENCH_PAGES
+(default 200_000 → ~0.7M href edges).
+
+The ``north`` block reports the BASELINE.json metric — edges/sec per
+superstep for CC hash-min and per PageRank iteration — measured on the
+flagship href-edge graph. Scaling efficiency across two parallelism levels
+(local[8] vs local[32]) is produced by scripts/bench_scaling.py, which runs
+this file twice with SPARK_GRAFT_CPUS=8/32 and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from connected_components_3d_spark import driver_queries as dq  # noqa: E402
+from connected_components_3d_spark.operators import similarity  # noqa: E402
+from connected_components_3d_spark.operators.cc import connected_components  # noqa: E402
+from connected_components_3d_spark.operators.edges import href_edges  # noqa: E402
+from connected_components_3d_spark.operators.pagerank import pagerank  # noqa: E402
+from connected_components_3d_spark.session import get_spark  # noqa: E402
+from connected_components_3d_spark.sources.pages import synthetic_pages  # noqa: E402
+from connected_components_3d_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return round(time.time() - t0, 3), out
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    north: dict[str, float | int] = {}
+
+    # -- flagship: pages → extraction → edges (the Arrow-UDF hot path) -----
+    pages = synthetic_pages(spark, N_PAGES, num_partitions=64)
+    t, edges = timed(lambda: href_edges(pages).localCheckpoint(eager=True))
+    n_edges = edges.count()
+    queries["extract_edges"] = t
+    north["n_pages"] = N_PAGES
+    north["n_edges"] = n_edges
+    north["extract_pages_per_sec"] = round(N_PAGES / t, 1)
+
+    # -- CC on the href graph (north metric: edges/sec per superstep) ------
+    t, res = timed(lambda: connected_components(spark, edges, method="blockuf"))
+    queries["cc_pages"] = t
+    sym_edges = res.metrics[0]["edges_active"] if res.metrics else n_edges
+    steps = max(res.num_supersteps, 1)
+    north["cc_supersteps"] = steps
+    north["cc_edges_per_sec_per_superstep"] = round(sym_edges * steps / t, 1)
+
+    # -- PageRank on the href graph (north metric: edges/sec per iteration)
+    t, pr = timed(lambda: pagerank(spark, edges, fixed_iters=5))
+    _ = pr.ranks.count()
+    queries["pagerank_pages"] = t
+    north["pr_iters"] = pr.num_iters
+    north["pr_edges_per_sec_per_iter"] = round(n_edges * pr.num_iters / t, 1)
+
+    # -- driver-table suite at SF_DIR --------------------------------------
+    def run(name, fn):
+        t, df = timed(lambda: fn(spark, SF_DIR))
+        t2, _ = timed(df.count)
+        queries[name] = round(t + t2, 3)
+
+    run("cc_bipartite", lambda s, d: connected_components(
+        s, dq.bipartite_edges(s, d), method="blockuf").components)
+    run("pagerank_bipartite", dq.q_pagerank_bipartite)
+    run("lpa_tree", dq.q_lpa_tree)
+    run("triangles_copart", dq.q_triangles_copart)
+    run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)
+    run("dedup_simhash", dq.q_dedup_simhash)
+    run("text_stats", dq.q_text_stats)
+    run("pricing_summary", dq.q_pricing_summary)
+    run(
+        "ann_lsh_topk",
+        lambda s, d: similarity.cosine_topk_lsh(
+            load_table(s, d, "embeddings"), k=5, num_planes=8, num_tables=2
+        ),
+    )
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "north": north,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

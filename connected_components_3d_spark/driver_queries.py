@@ -1,0 +1,780 @@
+"""Driver-harness query surface: paired (Spark query, DuckDB oracle SQL).
+
+Every operator from SURVEY.md §2.2 that is SQL-expressible gets BOTH a
+``queries()`` entry (a real distributed plan through this engine's operators)
+and an ``oracle_sql()`` entry (independent ANSI/DuckDB SQL over the same
+parquet views) — the driver compares row-count + schema + order-insensitive
+value hash at sf=0.01 (__spark_entry__.py docstring).
+
+Graph queries run over edge tables DERIVED from the driver tables so the
+oracle applies (FIXTURES.md §1 convention):
+
+- tree graph      region(r) ← nation(100+nk) ← customer(1000+ck): 5 known
+                  components ⇒ CC / stats / largest_k / dust / LPA oracles
+                  are independently computable in plain SQL;
+- bipartite graph DISTINCT (l_orderkey, −l_partkey) from lineitem ⇒ degrees
+                  + fixed-k PageRank (chained-CTE oracle, dangling mass);
+- co-part graph   parts co-occurring in an order ⇒ triangles / region_graph
+                  / contacts (labels = p_brand).
+
+Float parity rules (why these oracles hash-match bit-for-bit):
+
+- every dot product is a SEQUENTIAL left fold in both engines (Spark
+  ``aggregate`` lambda ≡ an explicit left-associated ``+`` chain in SQL);
+- every aggregate whose addition order is engine-dependent (SUM of doubles)
+  is rounded (documented per query) to absorb the ~1e-16 reassociation error;
+- md5 is the cross-engine hash (xxhash64 is Spark-only);
+- Spark's order-preserving ``array_distinct`` is mirrored in DuckDB by an
+  explicit first-occurrence-index idiom (``_odist``) — DuckDB's
+  ``list_distinct`` does NOT preserve order (verified v1.0.0).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    distinct_tokens,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from .operators import dedup, similarity, stats, triangles
+from .operators.cc import connected_components, num_components
+from .operators.edges import degrees
+from .operators.lpa import label_propagation
+from .operators.pagerank import pagerank
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# derived edge tables (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ← nation ← customer tree; vertex ids: r, 100+nk, 1000+ck."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    e1 = nation.select(
+        (F.lit(100) + F.col("n_nationkey")).cast("long").alias("src"),
+        F.col("n_regionkey").cast("long").alias("dst"),
+    )
+    e2 = customer.select(
+        (F.lit(1000) + F.col("c_custkey")).cast("long").alias("src"),
+        (F.lit(100) + F.col("c_nationkey")).cast("long").alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+_TREE_EDGES_SQL = """(
+  SELECT (100 + n_nationkey)::BIGINT AS src, n_regionkey::BIGINT AS dst FROM nation
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT AS src, (100 + c_nationkey)::BIGINT AS dst FROM customer
+)"""
+
+# oracle for the tree components: every vertex's component is the min vertex
+# id of its region tree = r_regionkey (0..4 are the global minima by
+# construction) — an INDEPENDENT computation of the same answer.
+_TREE_COMP_SQL = """(
+  SELECT DISTINCT n_regionkey::BIGINT AS vertex, n_regionkey::BIGINT AS component FROM nation
+  UNION ALL
+  SELECT (100 + n_nationkey)::BIGINT, n_regionkey::BIGINT FROM nation
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT, n_regionkey::BIGINT
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)"""
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (l_orderkey, −l_partkey) — FIXTURES.md §1 convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("long").alias("src"),
+        (-F.col("l_partkey")).cast("long").alias("dst"),
+    ).distinct()
+
+
+_BIPARTITE_EDGES_SQL = (
+    "(SELECT DISTINCT l_orderkey::BIGINT AS src, (-l_partkey)::BIGINT AS dst"
+    " FROM lineitem)"
+)
+
+
+def copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (src<dst) edges between parts co-occurring in an order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_COPART_EDGES_SQL = """(
+  SELECT DISTINCT a.l_partkey::BIGINT AS src, b.l_partkey::BIGINT AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+# ---------------------------------------------------------------------------
+# DuckDB dialect helpers (oracle side)
+# ---------------------------------------------------------------------------
+
+# tokens(): mirrors functions/text.py::tokens — lowercase, non-alnum runs → ' ',
+# split, drop ''.
+_TOK = (
+    "list_filter(string_split(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+    " ' '), x -> x <> '')"
+)
+
+
+def _odist(l: str) -> str:
+    """Order-preserving distinct (first occurrence), mirroring Spark's
+    array_distinct; DuckDB's list_distinct is unordered (verified v1.0.0)."""
+    return (
+        f"list_transform(list_filter(generate_series(1, len({l})),"
+        f" i -> list_position({l}, {l}[i]) = i), i -> {l}[i])"
+    )
+
+
+def _shingle(t: str, n: int) -> str:
+    """n-gram shingles over token list ``t`` joined by '_' (text.py::shingles)."""
+    return (
+        f"list_transform(generate_series(1, len({t}) - {n - 1}),"
+        f" i -> array_to_string({t}[i:i+{n - 1}], '_'))"
+    )
+
+
+_SW = {
+    "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "auf"],
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+}
+
+
+def _sqllist(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+
+def q_cc_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = connected_components(spark, tree_edges(spark, sf_dir), method="blockuf")
+    return res.components
+
+
+def q_cc_tree_hashmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = connected_components(spark, tree_edges(spark, sf_dir), method="hashmin")
+    return res.components
+
+
+def q_cc_num_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = connected_components(spark, tree_edges(spark, sf_dir), method="blockuf")
+    n = num_components(res.components)
+    return spark.createDataFrame([(n,)], "n_components long")
+
+
+def q_component_stats_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = q_cc_tree(spark, sf_dir)
+    return stats.component_sizes(comps)
+
+
+def q_largest_k_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = q_cc_tree(spark, sf_dir)
+    return stats.largest_k(comps, 3).select(
+        "vertex", "component", "size", F.col("rk").cast("int").alias("rk")
+    )
+
+
+def q_dust_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = q_cc_tree(spark, sf_dir)
+    return stats.dust(comps, 30)
+
+
+def q_degrees_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(bipartite_edges(spark, sf_dir))
+
+
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(spark, bipartite_edges(spark, sf_dir), fixed_iters=5)
+    return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
+def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
+    return res.labels
+
+
+def q_triangles_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles.triangles_per_edge(copart_edges(spark, sf_dir))
+
+
+def q_triangle_total_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = triangles.triangle_count(copart_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def q_region_graph_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    labels = part.select(
+        F.col("p_partkey").cast("long").alias("vertex"), F.col("p_brand").alias("label")
+    )
+    return stats.region_graph(copart_edges(spark, sf_dir), labels)
+
+
+def q_contacts_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    labels = part.select(
+        F.col("p_partkey").cast("long").alias("vertex"), F.col("p_brand").alias("label")
+    )
+    return stats.contacts(copart_edges(spark, sf_dir), labels)
+
+
+def q_adjacency_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = stats.adjacency_summary(tree_edges(spark, sf_dir))
+    nbr_str = F.array_join(
+        F.transform("neighbors", lambda x: x.cast("string")), ","
+    )
+    return adj.select("vertex", nbr_str.alias("neighbors"), "deg")
+
+
+# ---------------------------------------------------------------------------
+# relational substrate
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→agg (pushdown + partial agg showcase).
+    Double SUMs rounded to 2 (addition-order reassociation ~1e-16 rel)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join showcase: 100-row supplier dim broadcast into lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking; deterministic ties on o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join showcase: customers with no order above 300k (every customer
+    has SOME order in this data, so the filter makes the anti-join
+    non-trivial)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 300000.0
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing agg (warc_ts-style time rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag window: new session when gap > 30 min."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ in the parquet; unix_micros needs TIMESTAMP
+    # (session tz is pinned UTC so the cast is value-preserving vs duckdb's
+    # naive epoch_us)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.lag(us).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | ((us - lag_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs)
+
+
+def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(
+        docs, num_hashes=16, band_size=2, shingle_n=2
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.lsh_candidate_pairs(docs, num_hashes=16, band_size=2, shingle_n=2)
+    return dedup.ngram_jaccard_pairs(docs, cand, shingle_n=2)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws"),
+        token_count_bpe("text").alias("n_bpe"),
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(F.size(distinct_tokens("text")) >= 3).select(
+        "doc_id", fingerprint("text", 3).alias("fp")
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_brute(emb, k=5).select(
+        "id_a", "id_b", "cos", F.col("rn").cast("int").alias("rn")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the synthetic embeddings are near-orthogonal (max off-diagonal cosine
+    # ≈ 0.51 at sf0.01) — 0.45 keeps the result non-empty
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN — no SQL oracle (recall-checked in pytest instead)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(emb, k=5, num_planes=6, num_tables=4).select(
+        "id_a", "id_b", "cos", F.col("rn").cast("int").alias("rn")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (deterministic fake decoder) — rows-only check."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200, kind="image")
+    return extract_features(media, dim=8)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
+    a = repr(alpha)
+    parts = [
+        f"WITH e AS {_BIPARTITE_EDGES_SQL}",
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src AS vertex, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "vs AS (SELECT v.vertex, COALESCE(od.outdeg, 0) AS outdeg"
+        " FROM v LEFT JOIN od ON od.vertex = v.vertex)",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM vs)",
+        "r0 AS (SELECT vertex, outdeg, 1.0/(SELECT n FROM nn) AS rank FROM vs)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS s FROM r{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS vertex, SUM(r.rank / r.outdeg) AS contrib"
+            f" FROM e JOIN r{p} r ON r.vertex = e.src WHERE r.outdeg > 0"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT vs.vertex, vs.outdeg,"
+            f" {a}*COALESCE(c.contrib, 0.0)"
+            f" + {a}*(SELECT s FROM d{i})/(SELECT n FROM nn)"
+            f" + (1.0 - {a})/(SELECT n FROM nn) AS rank"
+            f" FROM vs LEFT JOIN c{i} c ON c.vertex = vs.vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    parts = [
+        f"WITH e0 AS {_TREE_EDGES_SQL}",
+        "es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "v AS (SELECT DISTINCT src AS vertex FROM es)",
+        "l0 AS (SELECT vertex, vertex AS label FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"h{i} AS (SELECT es.dst AS vertex, l.label, COUNT(*) AS cnt"
+            f" FROM es JOIN l{p} l ON l.vertex = es.src GROUP BY es.dst, l.label)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT vertex, label FROM (SELECT vertex, label,"
+            f" ROW_NUMBER() OVER (PARTITION BY vertex ORDER BY cnt DESC, label ASC)"
+            f" AS rn FROM h{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT l.vertex, COALESCE(b.label, l.label) AS label"
+            f" FROM l{p} l LEFT JOIN b{i} b ON b.vertex = l.vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, label FROM l{iters}"
+
+
+def _minhash_bands_cte(num_hashes: int = 16, band_size: int = 2) -> str:
+    """CTEs ``bands(id, band_id, band_hash)`` replicating dedup.py's MinHash
+    (md5-string minima over 2-shingles of order-distinct tokens) + banding."""
+    toks = _TOK.format(c="text")
+    hcols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '#{i}')), 'min') AS h{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band_id, md5({expr}) AS band_hash FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"h{b * band_size + j}" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""toks0 AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+tokd AS (SELECT id, {_odist('t')} AS td FROM toks0),
+shs AS (SELECT id, list_distinct({_shingle('td', 2)}) AS sh FROM tokd),
+sigs AS (SELECT id, {hcols} FROM shs),
+bands AS ({band_rows})"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks = _TOK.format(c="text")
+    high = "('8','9','a','b','c','d','e','f')"
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"COALESCE(list_sum(list_transform(td, w -> CASE WHEN"
+            f" substr(md5(w), {j + 1}, 1) IN {high} THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(f"(CASE WHEN {vote} >= 0 THEN {1 << j} ELSE 0 END)")
+    total = " + ".join(terms)
+    return f"""WITH toks0 AS (SELECT doc_id AS id, {toks} AS t FROM documents),
+tokd AS (SELECT id, list_distinct(t) AS td FROM toks0)
+SELECT id, ({total})::BIGINT AS simhash FROM tokd"""
+
+
+def _text_stats_sql() -> str:
+    toks = _TOK.format(c="text")
+    sw_all = _sqllist(_SW["en"] + _SW["de"] + _SW["fr"])
+    hits = {
+        lang: f"len(list_filter(list_distinct(t), w -> list_contains({_sqllist(ws)}, w)))"
+        for lang, ws in _SW.items()
+    }
+    return f"""WITH tok AS (SELECT doc_id, text, {toks} AS t FROM documents),
+feat AS (SELECT doc_id, text, t,
+  len(t) AS n_tokens,
+  length(text) AS n_chars,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe,
+  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+  {hits['de']} AS de_hits, {hits['en']} AS en_hits, {hits['fr']} AS fr_hits,
+  CASE WHEN len(t) > 0 THEN
+    COALESCE(list_sum(list_transform(t, w -> length(w)::DOUBLE)), 0.0) / len(t)
+  ELSE 0.0 END AS mean_tok,
+  CASE WHEN length(text) > 0 THEN
+    len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / length(text)
+  ELSE 0.0 END AS punct_ratio,
+  CASE WHEN len(t) > 0 THEN
+    len(list_filter(t, w -> list_contains({sw_all}, w)))::DOUBLE / len(t)
+  ELSE 0.0 END AS stop_ratio
+ FROM tok)
+SELECT doc_id,
+  n_tokens::INT AS n_ws,
+  n_bpe::INT AS n_bpe,
+  CASE WHEN n_tokens = 0 THEN 'und'
+       WHEN de_hits = greatest(de_hits, en_hits, fr_hits) THEN 'de'
+       WHEN en_hits = greatest(de_hits, en_hits, fr_hits) THEN 'en'
+       ELSE 'fr' END AS lang_pred,
+  ROUND(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+      + 0.2 * (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))
+      + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+FROM feat"""
+
+
+def _fingerprint_sql() -> str:
+    toks = _TOK.format(c="text")
+    return f"""WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+tokd AS (SELECT doc_id, {_odist('t')} AS td FROM tok),
+sh AS (SELECT doc_id, {_shingle('td', 3)} AS s3 FROM tokd WHERE len(td) >= 3),
+hashed AS (SELECT doc_id,
+  list_sort(list_distinct(list_transform(s3, s -> md5(s)))) AS h FROM sh),
+sel AS (SELECT doc_id, h,
+  list_filter(h, x -> substr(x, 1, 1) IN ('0','1','2','3')) AS chosen FROM hashed)
+SELECT doc_id,
+  md5(array_to_string(CASE WHEN len(chosen) > 0 THEN chosen ELSE h END, ',')) AS fp
+FROM sel"""
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Left-associated Σ aᵢ·bᵢ — same addition order as Spark's sequential
+    fold in similarity._dot ⇒ bit-identical doubles."""
+    return " + ".join(
+        f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1)
+    )
+
+
+def _cosine_pairs_cte(dim: int = 64) -> str:
+    return f"""base AS (SELECT vec_id AS id, embedding AS v,
+  sqrt({_dot_sql('embedding', 'embedding', dim)}) AS nrm FROM embeddings),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+  ROUND(({_dot_sql('a.v', 'b.v', dim)}) / (a.nrm * b.nrm), 6) AS cos
+ FROM base a JOIN base b ON a.id <> b.id)"""
+
+
+def oracle_sql() -> dict[str, str]:
+    tree_cc = f"SELECT vertex, component FROM {_TREE_COMP_SQL} c"
+    return {
+        "cc_tree": tree_cc,
+        "cc_tree_hashmin": tree_cc,
+        "cc_num_components": (
+            "SELECT COUNT(DISTINCT n_regionkey)::BIGINT AS n_components FROM nation"
+        ),
+        "component_stats_tree": (
+            f"SELECT component, COUNT(*)::BIGINT AS size FROM {_TREE_COMP_SQL} c"
+            " GROUP BY component"
+        ),
+        "largest_k_tree": f"""WITH comp AS {_TREE_COMP_SQL},
+sz AS (SELECT component, COUNT(*)::BIGINT AS size FROM comp GROUP BY component),
+top AS (SELECT component, size,
+  ROW_NUMBER() OVER (ORDER BY size DESC, component ASC)::INT AS rk FROM sz)
+SELECT c.vertex, c.component, t.size, t.rk
+FROM comp c JOIN top t ON c.component = t.component WHERE t.rk <= 3""",
+        "dust_tree": f"""WITH comp AS {_TREE_COMP_SQL},
+sz AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY component)
+SELECT c.vertex, c.component FROM comp c
+JOIN sz ON sz.component = c.component WHERE sz.size >= 30""",
+        "degrees_bipartite": f"""WITH e AS {_BIPARTITE_EDGES_SQL},
+od AS (SELECT src AS vertex, COUNT(*)::BIGINT AS out_deg FROM e GROUP BY src),
+id_ AS (SELECT dst AS vertex, COUNT(*)::BIGINT AS in_deg FROM e GROUP BY dst)
+SELECT COALESCE(od.vertex, id_.vertex) AS vertex,
+  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg,
+  COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
+FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
+        "pagerank_bipartite": _pagerank_sql(5, 0.85),
+        "lpa_tree": _lpa_sql(3),
+        "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
+adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
+cn AS (SELECT e.src, e.dst, COUNT(*)::BIGINT AS n_tri FROM und e
+  JOIN adj a1 ON a1.v = e.src
+  JOIN adj a2 ON a2.v = e.dst AND a2.w = a1.w
+  GROUP BY e.src, e.dst)
+SELECT e.src, e.dst, COALESCE(cn.n_tri, 0) AS n_tri
+FROM und e LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst""",
+        "triangle_total_copart": f"""WITH und AS {_COPART_EDGES_SQL}
+SELECT COUNT(*)::BIGINT AS n_triangles FROM und e1
+JOIN und e2 ON e2.src = e1.src AND e2.dst > e1.dst
+JOIN und e3 ON e3.src = e1.dst AND e3.dst = e2.dst""",
+        "region_graph_brands": f"""WITH und AS {_COPART_EDGES_SQL}
+SELECT DISTINCT least(pa.p_brand, pb.p_brand) AS label_a,
+  greatest(pa.p_brand, pb.p_brand) AS label_b
+FROM und e JOIN part pa ON pa.p_partkey = e.src
+JOIN part pb ON pb.p_partkey = e.dst
+WHERE pa.p_brand <> pb.p_brand""",
+        "contacts_brands": f"""WITH und AS {_COPART_EDGES_SQL}
+SELECT least(pa.p_brand, pb.p_brand) AS label_a,
+  greatest(pa.p_brand, pb.p_brand) AS label_b, COUNT(*)::BIGINT AS area
+FROM und e JOIN part pa ON pa.p_partkey = e.src
+JOIN part pb ON pb.p_partkey = e.dst
+WHERE pa.p_brand <> pb.p_brand GROUP BY 1, 2""",
+        "adjacency_tree": f"""WITH e0 AS {_TREE_EDGES_SQL},
+es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)
+SELECT src AS vertex,
+  array_to_string(list_sort(list(dst)), ',') AS neighbors,
+  COUNT(*)::BIGINT AS deg
+FROM es GROUP BY src""",
+        "pricing_summary": """SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+  COUNT(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "supplier_revenue": """SELECT s_nationkey, COUNT(*)::BIGINT AS n_items,
+  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey""",
+        "top_orders_per_customer": """SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rn FROM orders)
+WHERE rn <= 3""",
+        "customers_without_orders": """SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",
+        "events_daily": """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+  COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2""",
+        "events_sessions": """WITH w AS (SELECT user_id, event_id,
+  CASE WHEN lag_us IS NULL OR (epoch_us(ts) - lag_us) > 1800000000
+       THEN 1 ELSE 0 END AS new_sess
+ FROM (SELECT user_id, event_id, ts,
+   LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_us
+  FROM events))
+SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
+FROM w GROUP BY user_id""",
+        "dedup_exact": """SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS group_size,
+  MIN(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)""",
+        "dedup_minhash_candidates": f"""WITH {_minhash_bands_cte(16, 2)}
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id""",
+        "dedup_jaccard": f"""WITH {_minhash_bands_cte(16, 2)},
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b,
+   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS n_inter,
+   len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c JOIN shs sa ON sa.id = c.id_a JOIN shs sb ON sb.id = c.id_b)
+SELECT id_a, id_b,
+  ROUND(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard FROM inter""",
+        "dedup_simhash": _simhash_sql(16),
+        "text_stats": _text_stats_sql(),
+        "text_fingerprint": _fingerprint_sql(),
+        "similarity_topk": f"""WITH {_cosine_pairs_cte(64)}
+SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
+  ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)::INT AS rn
+ FROM pairs) WHERE rn <= 5""",
+        "embedding_near_dup": f"""WITH {_cosine_pairs_cte(64)}
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45 AND id_a < id_b""",
+        # ann_lsh_topk, multimodal_features: intentionally no oracle
+        # (approximate / binary-payload ops) → driver rows-only check.
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "cc_tree": q_cc_tree,
+        "cc_tree_hashmin": q_cc_tree_hashmin,
+        "cc_num_components": q_cc_num_components,
+        "component_stats_tree": q_component_stats_tree,
+        "largest_k_tree": q_largest_k_tree,
+        "dust_tree": q_dust_tree,
+        "degrees_bipartite": q_degrees_bipartite,
+        "pagerank_bipartite": q_pagerank_bipartite,
+        "lpa_tree": q_lpa_tree,
+        "triangles_copart": q_triangles_copart,
+        "triangle_total_copart": q_triangle_total_copart,
+        "region_graph_brands": q_region_graph_brands,
+        "contacts_brands": q_contacts_brands,
+        "adjacency_tree": q_adjacency_tree,
+        "pricing_summary": q_pricing_summary,
+        "supplier_revenue": q_supplier_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "events_daily": q_events_daily,
+        "events_sessions": q_events_sessions,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_candidates": q_dedup_minhash_candidates,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: synthetic Common-Crawl-style pages → vectorized href
+    extraction → edge hygiene → distributed CC (block-UF + hash-min) →
+    component-size top-10 joined with per-vertex degree."""
+    from .operators.edges import degrees as _degrees
+    from .operators.edges import href_edges
+    from .sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 2000, num_partitions=8)
+    edges = href_edges(pages)
+    res = connected_components(spark, edges, method="blockuf")
+    sizes = stats.component_sizes(res.components)
+    top = sizes.orderBy(F.desc("size"), F.asc("component")).limit(10)
+    deg = _degrees(edges)
+    avg_deg = (
+        res.components.join(deg, "vertex")
+        .groupBy("component")
+        .agg(F.round(F.avg("deg"), 4).alias("avg_deg"))
+    )
+    return top.join(avg_deg, "component").orderBy(F.desc("size"), F.asc("component"))

@@ -1,0 +1,122 @@
+"""Two-parallelism-level scaling evidence for the north rule.
+
+No real cluster exists in this sandbox, so per driver instruction the
+"N → 4N executors with ≥0.8 scaling efficiency" criterion is evidenced by
+running the SAME bench job at local[8] and local[32] on identical input and
+reporting throughput at both plus efficiency = (T8 / T32) / 4.
+
+Writes BENCH.md and prints the summary JSON.
+
+Usage: python scripts/bench_scaling.py [--pages N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, pages: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    # shuffle partitions scaled to cores (what a per-job conf would do on a
+    # real cluster); identical INPUT both runs.
+    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(cpus)
+    env["SPARK_GRAFT_BENCH_PAGES"] = str(pages)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    pages = 200_000
+    if "--pages" in sys.argv:
+        pages = int(sys.argv[sys.argv.index("--pages") + 1])
+
+    r8 = run_bench(8, pages)
+    r32 = run_bench(32, pages)
+
+    # scaling efficiency on the iterative north-metric kernels: use the
+    # wall time of the full iterative jobs (cc + pagerank on the href graph)
+    def north_secs(r):
+        return r["queries"]["cc_pages"] + r["queries"]["pagerank_pages"]
+
+    t8, t32 = north_secs(r8), north_secs(r32)
+    eff = round((t8 / t32) / 4.0, 3)
+    total_eff = round((r8["value"] / r32["value"]) / 4.0, 3)
+
+    summary = {
+        "pages": pages,
+        "edges": r32["north"]["n_edges"],
+        "local8": {
+            "north_sec": round(t8, 3),
+            "cc_edges_per_sec_per_superstep": r8["north"][
+                "cc_edges_per_sec_per_superstep"
+            ],
+            "pr_edges_per_sec_per_iter": r8["north"]["pr_edges_per_sec_per_iter"],
+            "total_sec": r8["value"],
+        },
+        "local32": {
+            "north_sec": round(t32, 3),
+            "cc_edges_per_sec_per_superstep": r32["north"][
+                "cc_edges_per_sec_per_superstep"
+            ],
+            "pr_edges_per_sec_per_iter": r32["north"]["pr_edges_per_sec_per_iter"],
+            "total_sec": r32["value"],
+        },
+        "scaling_efficiency_north": eff,
+        "scaling_efficiency_total": total_eff,
+        "target": 0.8,
+    }
+    print(json.dumps(summary, indent=2))
+
+    md = f"""# BENCH — measured numbers (this engine, this sandbox)
+
+North metric [BASELINE.json:2]: edges/sec per superstep (CC hash-min +
+PageRank iteration); scaling efficiency ≥0.8 from N to 4N parallelism.
+No real cluster in this sandbox → evidenced at local[8] vs local[32]
+(same input: {pages} synthetic pages → {r32["north"]["n_edges"]} href edges;
+shuffle partitions scaled with cores, as a per-job conf would on a cluster).
+
+| metric | local[8] | local[32] |
+|---|---|---|
+| CC edges/sec/superstep | {r8["north"]["cc_edges_per_sec_per_superstep"]:,.0f} | {r32["north"]["cc_edges_per_sec_per_superstep"]:,.0f} |
+| PageRank edges/sec/iter | {r8["north"]["pr_edges_per_sec_per_iter"]:,.0f} | {r32["north"]["pr_edges_per_sec_per_iter"]:,.0f} |
+| CC+PR wall (s) | {t8:.1f} | {t32:.1f} |
+| full suite wall (s) | {r8["value"]:.1f} | {r32["value"]:.1f} |
+
+**Scaling efficiency (8→32 cores, 4×): {eff} on the north kernels,
+{total_eff} on the full suite** (target ≥ 0.8; note local-mode runs share
+one JVM heap/memory bus, so this under-reports true multi-executor scaling —
+shuffle-heavy stages contend on the same memory bandwidth).
+
+Per-query wall times at local[32], sf={r32["sf"]}:
+
+```json
+{json.dumps(r32["queries"], indent=2)}
+```
+
+Raw JSON (both runs):
+
+```json
+{json.dumps({"local8": r8, "local32": r32}, indent=2)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
