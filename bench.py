@@ -37,6 +37,7 @@ from connected_components_3d_spark.sources.tables import load_table  # noqa: E40
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+N_EDGES = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "4000000"))
 
 
 def timed(fn):
@@ -62,20 +63,52 @@ def main() -> None:
     north["n_edges"] = n_edges
     north["extract_pages_per_sec"] = round(N_PAGES / t, 1)
 
-    # -- CC on the href graph (north metric: edges/sec per superstep) ------
+    # -- CC on the href graph ----------------------------------------------
     t, res = timed(lambda: connected_components(spark, edges, method="blockuf"))
     queries["cc_pages"] = t
-    sym_edges = res.metrics[0]["edges_active"] if res.metrics else n_edges
-    steps = max(res.num_supersteps, 1)
-    north["cc_supersteps"] = steps
-    north["cc_edges_per_sec_per_superstep"] = round(sym_edges * steps / t, 1)
 
-    # -- PageRank on the href graph (north metric: edges/sec per iteration)
+    # -- PageRank on the href graph ----------------------------------------
     t, pr = timed(lambda: pagerank(spark, edges, fixed_iters=5))
     _ = pr.ranks.count()
     queries["pagerank_pages"] = t
+
+    # -- north-metric kernels on a larger synthetic edge table -------------
+    # BASELINE.json:2 names "CC hash-min + PageRank iteration" edges/sec;
+    # measured on a native-generated skewed graph (70% of edges target a 5%
+    # hub set) big enough that per-superstep work dominates job overheads.
+    n_v = max(N_EDGES // 4, 1000)
+    synth = (
+        spark.range(0, N_EDGES, 1, 64)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_v)).alias("src"),
+            F.pmod(
+                F.xxhash64(F.col("id"), F.lit(2)),
+                F.when(F.pmod("id", F.lit(10)) < 7, F.lit(n_v // 20)).otherwise(
+                    F.lit(n_v)
+                ),
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    n_synth = synth.count()
+    north["n_synth_edges"] = n_synth
+
+    t, res = timed(lambda: connected_components(spark, synth, method="hashmin"))
+    queries["cc_synth_hashmin"] = t
+    steps = max(res.num_supersteps, 1)
+    north["cc_supersteps"] = steps
+    # hash-min propagates over the symmetrized edge set (2x)
+    north["cc_edges_per_sec_per_superstep"] = round(2 * n_synth * steps / t, 1)
+
+    t, res = timed(lambda: connected_components(spark, synth, method="blockuf"))
+    queries["cc_synth_blockuf"] = t
+
+    t, pr = timed(lambda: pagerank(spark, synth, fixed_iters=5))
+    _ = pr.ranks.count()
+    queries["pagerank_synth"] = t
     north["pr_iters"] = pr.num_iters
-    north["pr_edges_per_sec_per_iter"] = round(n_edges * pr.num_iters / t, 1)
+    north["pr_edges_per_sec_per_iter"] = round(n_synth * pr.num_iters / t, 1)
 
     # -- driver-table suite at SF_DIR --------------------------------------
     def run(name, fn):

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from ..sources import checkpoint as ckpt
-from .edges import symmetrize, vertices
+from .edges import vertices
 
 _STAR_SCHEMA = StructType(
     [StructField("vertex", LongType()), StructField("root", LongType())]
@@ -149,7 +149,13 @@ def connected_components(
         num_blocks = max(spark.sparkContext.defaultParallelism, 8)
 
     verts = vertices(edges)
-    e_sym = symmetrize(edges)
+    # raw (non-distinct) symmetrization: duplicate edges cannot change a
+    # union-find or a min-aggregate, and the distinct() of the doubled edge
+    # table is the single most expensive shuffle of the whole job (measured
+    # ~40% of CC wall at 4M edges)
+    e_sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
     metrics: list[dict] = []
     start_step = 0
@@ -169,13 +175,20 @@ def connected_components(
             start_step = latest + 1
 
     if method == "blockuf":
-        stars = block_contract(e_sym, num_blocks)
+        # materialize the contraction ONCE: both the initial labels and the
+        # star propagation edges derive from it (without this the
+        # applyInPandas union-find — and the full edge shuffle feeding it —
+        # runs twice)
+        stars = _truncate(block_contract(e_sym, num_blocks))
         # head start: best (min) local root per vertex
         init = stars.groupBy("vertex").agg(F.min("root").alias("label"))
+        nonself = stars.where(F.col("vertex") != F.col("root"))
         prop_edges = _truncate(
-            symmetrize(
-                stars.where(F.col("vertex") != F.col("root")).select(
-                    F.col("vertex").alias("src"), F.col("root").alias("dst")
+            nonself.select(
+                F.col("vertex").alias("src"), F.col("root").alias("dst")
+            ).unionByName(
+                nonself.select(
+                    F.col("root").alias("src"), F.col("vertex").alias("dst")
                 )
             )
         )

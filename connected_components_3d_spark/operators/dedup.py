@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from ..functions.text import distinct_tokens, shingles
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work across all cores.
+
+    Small parquet inputs arrive as a single scan partition (one 1.5 MB file =
+    one split), which serializes expression-heavy stages like MinHash onto one
+    core (measured 32x slowdown at sf0.1). At real scale the scan is already
+    wide and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by md5(text): (text_hash, group_size,
     canonical_id = min doc id). group_size > 1 ⇒ duplicates."""
@@ -45,28 +59,43 @@ def minhash_signature(
     """(id, sig: array<string>) — sig[i] = min over shingles of
     md5(shingle || '#i'). md5-string minima are engine-portable; at real
     scale you'd swap in xxhash64 ints (same plan shape, cheaper compare)."""
+    docs = _ensure_parallelism(docs)
     toks = distinct_tokens(text_col)
     sh = F.array_distinct(shingles(toks, shingle_n)) if shingle_n > 1 else toks
-    def _minhash_fn(i):
-        # closure capture (a 2-arg lambda would be read as (element, index))
-        return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, _minhash_fn(i))) for i in range(num_hashes)]
+    # ONE expression computes all hashes: transform over the hash index keeps
+    # a single reference to the tokenize→shingle chain. (Building num_hashes
+    # separate array_min columns re-evaluates that chain per hash — Catalyst's
+    # CollapseProject inlines common subexpressions, measured 16x slower.)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string")))
+            )
+        ),
     )
     return docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def lsh_bands(sigs: DataFrame, band_size: int = 2) -> DataFrame:
+def lsh_bands(
+    sigs: DataFrame, band_size: int = 2, num_bands: int | None = None
+) -> DataFrame:
     """signature → (id, band_id, band_hash) rows; docs sharing any
-    (band_id, band_hash) are candidates."""
+    (band_id, band_hash) are candidates.
+
+    Pass ``num_bands`` when the signature width is known: a dynamic
+    ``size(sig)`` bound references the sig expression a second time, which
+    re-inlines (and re-evaluates) the whole upstream minhash chain."""
+    n_bands_expr = (
+        F.lit(num_bands - 1)
+        if num_bands is not None
+        else F.floor(F.size("sig") / band_size).cast("int") - 1
+    )
     exploded = sigs.select(
         "id",
         F.posexplode(
             F.transform(
-                F.sequence(
-                    F.lit(0), F.floor(F.size("sig") / band_size).cast("int") - 1
-                ),
+                F.sequence(F.lit(0), n_bands_expr),
                 lambda b: F.md5(
                     F.array_join(
                         F.slice(F.col("sig"), b * band_size + 1, band_size), "|"
@@ -88,9 +117,14 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), distinct."""
     bands = lsh_bands(
-        minhash_signature(docs, text_col, id_col, num_hashes, shingle_n), band_size
+        minhash_signature(docs, text_col, id_col, num_hashes, shingle_n),
+        band_size,
+        num_bands=num_hashes // band_size,
     )
-    bands = bands.select("band_id", "band_hash", "id")
+    # materialize before the self-join: both join sides reuse one computed
+    # band table instead of re-running minhash twice (lazy localCheckpoint —
+    # computed at first action)
+    bands = bands.select("band_id", "band_hash", "id").localCheckpoint(eager=False)
     a = bands.select("band_id", "band_hash", F.col("id").alias("id_a"))
     b = bands.select("band_id", "band_hash", F.col("id").alias("id_b"))
     return (
@@ -110,6 +144,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (id_a, id_b) pairs:
     |A∩B| via exploded-shingle equi-join, |A∪B| = |A|+|B|−|A∩B|."""
+    docs = _ensure_parallelism(docs)
     toks = distinct_tokens(text_col)
     sh = F.array_distinct(shingles(toks, shingle_n)) if shingle_n > 1 else toks
     sets = docs.select(F.col(id_col).alias("id"), sh.alias("sh"))
@@ -159,6 +194,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     j-th hex nibble of md5(token) ≥ 8. Engine-portable (substr + IN-list).
     Near-dups have small Hamming distance between simhashes."""
     assert bits <= 32
+    docs = _ensure_parallelism(docs)
     toks = distinct_tokens(text_col)
     high = list("89abcdef")
 

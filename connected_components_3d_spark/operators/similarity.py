@@ -31,6 +31,11 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def with_norm(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    # small parquet inputs arrive as one scan partition; spread the
+    # dot-product-heavy stages across cores (no-op on wide scans)
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        emb = emb.repartition(sc.defaultParallelism)
     v = F.col(vec_col)
     return emb.select(
         F.col(id_col).alias("id"), v.alias("vec"), F.sqrt(_dot(v, v)).alias("norm")

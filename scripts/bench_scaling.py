@@ -50,7 +50,7 @@ def main() -> None:
     # scaling efficiency on the iterative north-metric kernels: use the
     # wall time of the full iterative jobs (cc + pagerank on the href graph)
     def north_secs(r):
-        return r["queries"]["cc_pages"] + r["queries"]["pagerank_pages"]
+        return r["queries"]["cc_synth_hashmin"] + r["queries"]["pagerank_synth"]
 
     t8, t32 = north_secs(r8), north_secs(r32)
     eff = round((t8 / t32) / 4.0, 3)
@@ -59,6 +59,7 @@ def main() -> None:
     summary = {
         "pages": pages,
         "edges": r32["north"]["n_edges"],
+        "synth_edges": r32["north"]["n_synth_edges"],
         "local8": {
             "north_sec": round(t8, 3),
             "cc_edges_per_sec_per_superstep": r8["north"][
@@ -86,8 +87,10 @@ def main() -> None:
 North metric [BASELINE.json:2]: edges/sec per superstep (CC hash-min +
 PageRank iteration); scaling efficiency ≥0.8 from N to 4N parallelism.
 No real cluster in this sandbox → evidenced at local[8] vs local[32]
-(same input: {pages} synthetic pages → {r32["north"]["n_edges"]} href edges;
-shuffle partitions scaled with cores, as a per-job conf would on a cluster).
+(same input: {pages} synthetic pages → {r32["north"]["n_edges"]} href edges,
+plus a {r32["north"]["n_synth_edges"]}-edge skewed synthetic graph for the
+kernel metrics; shuffle partitions scaled with cores, as a per-job conf
+would on a cluster).
 
 | metric | local[8] | local[32] |
 |---|---|---|
