@@ -1,0 +1,83 @@
+"""Physical-plan audits (SURVEY.md §4.2, driver 'optimize for scale' rules):
+the plans the engine emits must show predicate pushdown, column pruning,
+broadcast joins for small dims, and TakeOrderedAndProject top-k — asserted
+on the explain output, not assumed."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from connected_components_3d_spark import driver_queries as dq
+from connected_components_3d_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    explain_str,
+    pushed_filters,
+    read_schemas,
+)
+from connected_components_3d_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = dq.q_pricing_summary(spark, SF)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_column_pruning_on_projection(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    schemas = read_schemas(li)
+    assert schemas, "no ReadSchema found"
+    # 2-column projection must not read all 11 lineitem columns
+    assert all(
+        "l_extendedprice" not in s and "l_shipdate" not in s for s in schemas
+    ), schemas
+
+
+def test_pushdown_on_point_filter(spark):
+    docs = load_table(spark, SF, "documents").where(F.col("doc_id") == 7)
+    pf = pushed_filters(docs)
+    assert any("EqualTo(doc_id,7)" in f for f in pf), pf
+
+
+def test_supplier_revenue_broadcasts_small_dim(spark):
+    df = dq.q_supplier_revenue(spark, SF)
+    assert broadcast_join_count(df) >= 1, explain_str(df)
+
+
+def test_largest_k_uses_take_ordered(spark):
+    """top-k compiles to TakeOrderedAndProject (per-partition top-k + driver
+    merge), not a global sort."""
+    li = load_table(spark, SF, "lineitem")
+    top = li.orderBy(F.desc("l_extendedprice")).limit(5)
+    assert "TakeOrderedAndProject" in explain_str(top)
+
+
+def test_degrees_exchange_budget(spark):
+    """Degree computation is two partial+final hash aggs and one full-outer
+    merge — the shuffle budget must stay bounded (no accidental extra
+    repartitions)."""
+    df = dq.q_degrees_bipartite(spark, SF)
+    assert exchange_count(df) <= 4, explain_str(df)
+
+
+def test_tree_cc_label_filter_is_broadcast(spark):
+    """Multilabel edge filter broadcasts the (small) label side twice."""
+    from connected_components_3d_spark.operators.edges import filter_edges_by_label
+
+    edges = dq.tree_edges(spark, SF)
+    labels = edges.select(F.col("src").alias("vertex")).distinct().select(
+        "vertex", (F.col("vertex") % 3).alias("label")
+    )
+    out = filter_edges_by_label(edges, labels)
+    assert broadcast_join_count(out) >= 2, explain_str(out)
+
+
+@pytest.mark.parametrize("mode", ["formatted", "simple"])
+def test_explain_capture_roundtrip(spark, mode):
+    df = load_table(spark, SF, "region")
+    text = explain_str(df, mode)
+    assert "Scan parquet" in text or "FileScan" in text
