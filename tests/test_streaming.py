@@ -1,0 +1,126 @@
+"""Streaming ingest tests: incremental file arrival → streaming extraction
+→ append edge table, equal to the batch extraction over the union of all
+arrived pages; windowed rates close correctly under the watermark."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from connected_components_3d_spark.operators.edges import href_edges
+from connected_components_3d_spark.sources.pages import synthetic_pages
+from connected_components_3d_spark.streaming import (
+    edge_rate_by_window,
+    stream_edges,
+    stream_pages,
+    write_edges_stream,
+)
+
+
+def _drop_batch(pages_df, lo, hi, input_dir, name):
+    """Land one parquet FILE in the watched dir (the file source lists files,
+    not nested directories — mirrors how crawl files arrive)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    pages_df.where((F.col("page_id") >= lo) & (F.col("page_id") < hi)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(input_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_edges_match_batch(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    pages = synthetic_pages(spark, 300)
+    # batch 1 arrives
+    _drop_batch(pages, 0, 200, input_dir, "batch1")
+    q = write_edges_stream(
+        stream_edges(stream_pages(spark, input_dir)), out_dir, ckpt
+    )
+    q.awaitTermination()
+
+    # batch 2 arrives later; availableNow drains only the new files
+    _drop_batch(pages, 200, 300, input_dir, "batch2")
+    q = write_edges_stream(
+        stream_edges(stream_pages(spark, input_dir)), out_dir, ckpt
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir).select("src", "dst").distinct()
+    want = href_edges(pages)
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select("src", "dst")).count() == 0
+
+
+def test_streaming_is_incremental(spark, tmp_path):
+    """Second availableNow run must process only newly arrived files (no
+    duplicate re-ingestion of batch 1)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    pages = synthetic_pages(spark, 100)
+
+    _drop_batch(pages, 0, 100, input_dir, "batch1")
+    write_edges_stream(
+        stream_edges(stream_pages(spark, input_dir)), out_dir, ckpt
+    ).awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+
+    # no new files: second drain appends nothing
+    write_edges_stream(
+        stream_edges(stream_pages(spark, input_dir)), out_dir, ckpt
+    ).awaitTermination()
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 > 0
+
+
+def test_edge_rate_window_closes(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    pages = synthetic_pages(spark, 400)
+    _drop_batch(pages, 0, 400, input_dir, "batch1")
+
+    rates = edge_rate_by_window(
+        stream_pages(spark, input_dir), window="10 minutes", watermark="1 minute"
+    )
+    q = (
+        rates.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    # synthetic warc_ts spans page_id seconds from the epoch → 400 pages =
+    # 400s ≈ spans ≥1 complete 10-min window except the open tail; windows
+    # strictly before the watermark have closed and been emitted
+    # closed-window counts must match batch counts for the same windows
+    from connected_components_3d_spark.functions.extraction import extract_hrefs
+
+    truth = (
+        pages.select(
+            "warc_ts",
+            F.explode(extract_hrefs(F.col("html"), F.col("url"))).alias("href"),
+        )
+        .groupBy(F.window("warc_ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_edges"))
+        .select(F.col("w.start").alias("window_start"), "n_edges")
+    )
+    joined = got.join(truth, "window_start", "inner").where(
+        got.n_edges != truth.n_edges
+    )
+    assert joined.count() == 0
