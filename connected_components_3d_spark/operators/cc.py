@@ -174,6 +174,12 @@ def connected_components(
                 )
             start_step = latest + 1
 
+    # shuffle-once layout (same rationale as pagerank.py): the propagation
+    # edge table is hash-partitioned by src ONCE and persisted; the
+    # per-superstep join then never re-exchanges the E-row side (persist —
+    # not localCheckpoint — because LogicalRDD drops partitioning metadata)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     if method == "blockuf":
         # materialize the contraction ONCE: both the initial labels and the
         # star propagation edges derive from it (without this the
@@ -183,19 +189,17 @@ def connected_components(
         # head start: best (min) local root per vertex
         init = stars.groupBy("vertex").agg(F.min("root").alias("label"))
         nonself = stars.where(F.col("vertex") != F.col("root"))
-        prop_edges = _truncate(
+        prop_edges = nonself.select(
+            F.col("vertex").alias("src"), F.col("root").alias("dst")
+        ).unionByName(
             nonself.select(
-                F.col("vertex").alias("src"), F.col("root").alias("dst")
-            ).unionByName(
-                nonself.select(
-                    F.col("root").alias("src"), F.col("vertex").alias("dst")
-                )
+                F.col("root").alias("src"), F.col("vertex").alias("dst")
             )
         )
         if labels is None:
             labels = _truncate(init)
     elif method == "hashmin":
-        prop_edges = _truncate(e_sym)
+        prop_edges = e_sym
         if labels is None:
             labels = _truncate(
                 verts.select("vertex", F.col("vertex").alias("label"))
@@ -203,14 +207,28 @@ def connected_components(
     else:
         raise ValueError(f"unknown method {method!r}")
 
+    # sorted-cached layout: SMJ re-sorts only the label/frontier side each
+    # superstep, never the E-row edge side (see pagerank.py)
+    prop_edges = prop_edges.repartition(p, "src").sortWithinPartitions("src").persist()
+
     n_edges = prop_edges.count()
     step = start_step
     converged = False
+    # frontier-based propagation: labels only ever DECREASE (min-lattice), so
+    # a new minimum can only enter a vertex through a neighbor whose label
+    # just dropped — propagating only the changed ("frontier") labels is
+    # exact, and as the frontier shrinks AQE flips the edges⋈frontier join to
+    # a broadcast, turning late supersteps into map-side joins. On resume the
+    # frontier is unknown → one full-width step re-establishes it.
+    frontier = labels  # (vertex, label)
     for step in range(start_step, max_iter):
         t0 = time.time()
-        # (1) neighbor-min along symmetric edges
+        # (1) neighbor-min along edges OUT OF THE FRONTIER only (labels live
+        # on a min-lattice: a new minimum can only arrive from a neighbor
+        # whose label just dropped, so the E-row join shrinks with the
+        # frontier and AQE broadcasts it once it is small)
         nbr_min = (
-            prop_edges.join(labels, prop_edges.src == labels.vertex)
+            prop_edges.join(frontier, prop_edges.src == frontier.vertex)
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -221,22 +239,28 @@ def connected_components(
                 "mid_label"
             ),
         )
-        # (2) pointer jump: label ← label(label) (labels map is total: every
-        # label value is a vertex id present in `labels`)
+        # (2) FULL pointer jump label ← label(label) over all vertices — the
+        # doubling that makes high-diameter chains converge in O(log d)
+        # supersteps (a V-row self-join, cheap next to the E-row join; the
+        # labels map is total: every label value is a vertex id in `labels`)
         jump = labels.select(
             F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
         )
-        new_labels = stepped.join(
-            jump, stepped.mid_label == jump.j_vertex, "left"
-        ).select(
-            "vertex",
-            "old_label",
-            F.least(
-                F.col("mid_label"), F.coalesce("j_label", F.col("mid_label"))
-            ).alias("label"),
+        new_labels = _truncate(
+            stepped.join(jump, stepped.mid_label == jump.j_vertex, "left").select(
+                "vertex",
+                "old_label",
+                F.least(
+                    F.col("mid_label"), F.coalesce("j_label", F.col("mid_label"))
+                ).alias("label"),
+            )
         )
-        new_labels = _truncate(new_labels)
-        changed = new_labels.where(F.col("label") != F.col("old_label")).count()
+        # frontier for the next superstep = vertices whose label changed via
+        # EITHER the neighbor-min or the jump
+        frontier = new_labels.where(F.col("label") != F.col("old_label")).select(
+            "vertex", "label"
+        )
+        changed = frontier.count()
         labels = new_labels.select("vertex", "label")
         wall = time.time() - t0
         converged = changed == 0
@@ -252,11 +276,15 @@ def connected_components(
         metrics.append(m)
         if checkpoint_dir and (step % checkpoint_every == 0 or converged):
             ckpt.write_checkpoint(labels, checkpoint_dir, step, m)
+            # re-read for plan truncation; frontier stays the (already
+            # materialized) changed set — resetting it to the full label
+            # table would make every checkpointed step full-width
             labels = ckpt.read_checkpoint(spark, checkpoint_dir, step)
         if converged:
             break
     if not converged:
         raise RuntimeError(f"CC did not converge within {max_iter} supersteps")
+    prop_edges.unpersist()
 
     # compose back onto the full vertex set (blockuf labels cover exactly the
     # vertices of the original edges since every vertex appears in ≥1 block)

