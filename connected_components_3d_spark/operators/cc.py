@@ -31,6 +31,7 @@ Scale notes (100 TB / 10^12 pages):
 
 from __future__ import annotations
 
+import gc
 import time
 from dataclasses import dataclass, field
 
@@ -262,6 +263,7 @@ def connected_components(
         )
         changed = frontier.count()
         labels = new_labels.select("vertex", "label")
+        gc.collect()  # drop py4j refs to superseded checkpoint RDDs promptly
         wall = time.time() - t0
         converged = changed == 0
         m = {

@@ -12,6 +12,7 @@ a single-node implementation with the SAME rule for the SAME iteration count
 
 from __future__ import annotations
 
+import gc
 import time
 from dataclasses import dataclass, field
 
@@ -91,6 +92,7 @@ def label_propagation(
         new_labels = _truncate(new_labels)
         changed = new_labels.where(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("vertex", "label")
+        gc.collect()  # drop py4j refs to superseded checkpoint RDDs promptly
         wall = time.time() - t0
         metrics.append(
             {

@@ -17,6 +17,7 @@ new ranks (single action per superstep, SURVEY.md §4.3.4).
 
 from __future__ import annotations
 
+import gc
 import time
 from dataclasses import dataclass, field
 
@@ -136,6 +137,7 @@ def pagerank(
         if fixed_iters is None:
             converged = err < n * tol
         ranks = new_ranks.select("vertex", "out_deg", "rank")
+        gc.collect()  # drop py4j refs to superseded checkpoint RDDs promptly
         metrics.append(
             {
                 "iter": it,

