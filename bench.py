@@ -38,6 +38,8 @@ from connected_components_3d_spark.sources.tables import load_table  # noqa: E40
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
 N_EDGES = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "4000000"))
+# 1 → run only the synthetic-graph north kernels (used by scaling sweeps)
+KERNELS_ONLY = os.environ.get("SPARK_GRAFT_BENCH_KERNELS_ONLY", "0") == "1"
 
 
 def timed(fn):
@@ -54,23 +56,24 @@ def main() -> None:
     queries: dict[str, float] = {}
     north: dict[str, float | int] = {}
 
-    # -- flagship: pages → extraction → edges (the Arrow-UDF hot path) -----
-    pages = synthetic_pages(spark, N_PAGES, num_partitions=64)
-    t, edges = timed(lambda: href_edges(pages).localCheckpoint(eager=True))
-    n_edges = edges.count()
-    queries["extract_edges"] = t
-    north["n_pages"] = N_PAGES
-    north["n_edges"] = n_edges
-    north["extract_pages_per_sec"] = round(N_PAGES / t, 1)
+    if not KERNELS_ONLY:
+        # -- flagship: pages → extraction → edges (the Arrow-UDF hot path) -
+        pages = synthetic_pages(spark, N_PAGES, num_partitions=64)
+        t, edges = timed(lambda: href_edges(pages).localCheckpoint(eager=True))
+        n_edges = edges.count()
+        queries["extract_edges"] = t
+        north["n_pages"] = N_PAGES
+        north["n_edges"] = n_edges
+        north["extract_pages_per_sec"] = round(N_PAGES / t, 1)
 
-    # -- CC on the href graph ----------------------------------------------
-    t, res = timed(lambda: connected_components(spark, edges, method="blockuf"))
-    queries["cc_pages"] = t
+        # -- CC on the href graph ------------------------------------------
+        t, res = timed(lambda: connected_components(spark, edges, method="blockuf"))
+        queries["cc_pages"] = t
 
-    # -- PageRank on the href graph ----------------------------------------
-    t, pr = timed(lambda: pagerank(spark, edges, fixed_iters=5))
-    _ = pr.ranks.count()
-    queries["pagerank_pages"] = t
+        # -- PageRank on the href graph ------------------------------------
+        t, pr = timed(lambda: pagerank(spark, edges, fixed_iters=5))
+        _ = pr.ranks.count()
+        queries["pagerank_pages"] = t
 
     # -- north-metric kernels on a larger synthetic edge table -------------
     # BASELINE.json:2 names "CC hash-min + PageRank iteration" edges/sec;
@@ -122,6 +125,8 @@ def main() -> None:
 
     # -- driver-table suite at SF_DIR --------------------------------------
     def run(name, fn):
+        if KERNELS_ONLY:
+            return
         t, df = timed(lambda: fn(spark, SF_DIR))
         t2, _ = timed(df.count)
         queries[name] = round(t + t2, 3)

@@ -125,9 +125,9 @@ Raw JSON (both runs):
 {json.dumps({"local8": r8, "local32": r32}, indent=2)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_AUTO.md"), "w") as f:
         f.write(md)
-    print("wrote BENCH.md")
+    print("wrote BENCH_AUTO.md")
 
 
 if __name__ == "__main__":
