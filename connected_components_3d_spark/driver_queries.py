@@ -186,6 +186,26 @@ def q_cc_tree_hashmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.components
 
 
+def q_cc_multilabel_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cc3d's multilabel rule (R1) on the driver gate: edges survive only
+    between same-label endpoints (label = vertex parity), then CC. The
+    filtered tree is a depth-≤2 forest, so the oracle can compute components
+    in closed form (region id if the nation-region link survives, else the
+    nation id)."""
+    from .operators.edges import filter_edges_by_label
+
+    edges = tree_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .select("vertex", F.pmod("vertex", F.lit(2)).alias("label"))
+    )
+    filtered = filter_edges_by_label(edges, labels)
+    res = connected_components(spark, filtered, method="blockuf")
+    return res.components
+
+
 def q_cc_num_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = connected_components(spark, tree_edges(spark, sf_dir), method="blockuf")
     n = num_components(res.components)
@@ -607,6 +627,28 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cc_tree": tree_cc,
         "cc_tree_hashmin": tree_cc,
+        # multilabel rule: parity-filtered forest has depth ≤ 2, so the
+        # component of every surviving vertex is in closed form — region id
+        # where the nation↔region link survives, else the nation id
+        "cc_multilabel_tree": """WITH e1 AS (
+  SELECT (100 + n_nationkey)::BIGINT AS src, n_regionkey::BIGINT AS dst
+  FROM nation WHERE (100 + n_nationkey) % 2 = n_regionkey % 2),
+e2 AS (
+  SELECT (1000 + c_custkey)::BIGINT AS src, (100 + c_nationkey)::BIGINT AS dst
+  FROM customer WHERE (1000 + c_custkey) % 2 = (100 + c_nationkey) % 2),
+ncomp AS (
+  SELECT (100 + n_nationkey)::BIGINT AS nvertex,
+         COALESCE(e1.dst, (100 + n_nationkey)::BIGINT) AS comp
+  FROM nation LEFT JOIN e1 ON e1.src = (100 + n_nationkey))
+SELECT DISTINCT vertex, component FROM (
+  SELECT e1.dst AS vertex, e1.dst AS component FROM e1
+  UNION ALL
+  SELECT nc.nvertex, nc.comp FROM ncomp nc
+   WHERE EXISTS (SELECT 1 FROM e1 WHERE e1.src = nc.nvertex)
+      OR EXISTS (SELECT 1 FROM e2 WHERE e2.dst = nc.nvertex)
+  UNION ALL
+  SELECT e2.src, nc.comp FROM e2 JOIN ncomp nc ON nc.nvertex = e2.dst
+)""",
         "cc_num_components": (
             "SELECT COUNT(DISTINCT n_regionkey)::BIGINT AS n_components FROM nation"
         ),
@@ -727,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cc_tree": q_cc_tree,
         "cc_tree_hashmin": q_cc_tree_hashmin,
+        "cc_multilabel_tree": q_cc_multilabel_tree,
         "cc_num_components": q_cc_num_components,
         "component_stats_tree": q_component_stats_tree,
         "largest_k_tree": q_largest_k_tree,

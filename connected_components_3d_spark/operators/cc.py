@@ -103,13 +103,28 @@ def block_contract(edges_sym: DataFrame, num_blocks: int) -> DataFrame:
     Each block's edge set is replaced by a star to the block-local min vertex;
     the union of stars has the same connected components as the input
     (each block's edges are replaced by a spanning structure of themselves).
+
+    Implementation: hash-repartition by src (locality: a vertex's out-edges
+    land in one block → more intra-block merging → smaller star graph), then
+    ``mapInPandas`` drains each partition's Arrow batches into one numpy
+    union-find. Correctness does not depend on the partition assignment —
+    ANY split of the edges yields a valid contraction — so this is
+    partition-count invariant by construction (property-tested). mapInPandas
+    over a repartition avoids groupBy-applyInPandas' sort-based grouping
+    machinery on the E-row input.
     """
+
+    def _drain(it):
+        parts = list(it)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        if len(pdf):
+            yield _block_uf(pdf)
+
     return (
-        edges_sym.withColumn(
-            "block", F.pmod(F.xxhash64("src"), F.lit(num_blocks)).cast("int")
-        )
-        .groupBy("block")
-        .applyInPandas(_block_uf, schema=_STAR_SCHEMA)
+        edges_sym.repartition(num_blocks, F.pmod(F.xxhash64("src"), F.lit(num_blocks)))
+        .mapInPandas(_drain, schema=_STAR_SCHEMA)
     )
 
 
@@ -181,24 +196,46 @@ def connected_components(
     # not localCheckpoint — because LogicalRDD drops partitioning metadata)
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    vmin: DataFrame | None = None  # blockuf: vertex → min block-root
     if method == "blockuf":
-        # materialize the contraction ONCE: both the initial labels and the
-        # star propagation edges derive from it (without this the
-        # applyInPandas union-find — and the full edge shuffle feeding it —
-        # runs twice)
-        stars = _truncate(block_contract(e_sym, num_blocks))
-        # head start: best (min) local root per vertex
-        init = stars.groupBy("vertex").agg(F.min("root").alias("label"))
-        nonself = stars.where(F.col("vertex") != F.col("root"))
-        prop_edges = nonself.select(
-            F.col("vertex").alias("src"), F.col("root").alias("dst")
-        ).unionByName(
-            nonself.select(
-                F.col("root").alias("src"), F.col("vertex").alias("dst")
+        # TWO-LEVEL scheme (the reference's pass-1/pass-2 split,
+        # distributed): the global fixpoint runs ONLY on the root graph —
+        # the cross-block identifications — not on the full star set.
+        #
+        # The contraction eats FORWARD edges only (union-find is
+        # direction-blind; symmetrizing doubles shuffle + Arrow traffic for
+        # marginally better block locality). persist = columnar cache; the
+        # consumers below scan the E-scale star rows twice.
+        stars = block_contract(edges.select("src", "dst"), num_blocks).persist()
+        # vertex → all of its block-roots; edges (min-root ↔ other-root)
+        # capture exactly the merges the blocks couldn't see. A vertex's
+        # roots are mutually connected through it, so the root graph has the
+        # same cross-block component structure as the full star union.
+        vroots = stars.groupBy("vertex").agg(
+            F.min("root").alias("r0"), F.collect_set("root").alias("roots")
+        )
+        vmin = _truncate(vroots.select("vertex", "r0"))
+        root_edges = (
+            vroots.select(
+                F.col("r0").alias("src"), F.explode("roots").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        prop_edges = root_edges.unionByName(
+            root_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
         if labels is None:
-            labels = _truncate(init)
+            # loop state lives on ROOT vertices only; canonical min-vertex
+            # labels are preserved because the global minimum of a component
+            # is necessarily a block-root (it is the minimum of its own
+            # block-local component)
+            roots_v = stars.select(F.col("root").alias("vertex")).distinct()
+            labels = _truncate(
+                roots_v.select("vertex", F.col("vertex").alias("label"))
+            )
     elif method == "hashmin":
         prop_edges = e_sym
         if labels is None:
@@ -211,6 +248,9 @@ def connected_components(
     # sorted-cached layout: SMJ re-sorts only the label/frontier side each
     # superstep, never the E-row edge side (see pagerank.py)
     prop_edges = prop_edges.repartition(p, "src").sortWithinPartitions("src").persist()
+    if method == "blockuf":
+        prop_edges.count()  # materialize the root graph, then drop the stars
+        stars.unpersist()
 
     n_edges = prop_edges.count()
     step = start_step
@@ -287,6 +327,22 @@ def connected_components(
     if not converged:
         raise RuntimeError(f"CC did not converge within {max_iter} supersteps")
     prop_edges.unpersist()
+
+    if method == "blockuf" and vmin is not None:
+        # pass-2 composition: every vertex adopts its (min) block-root's
+        # converged label. All roots of one vertex share a component, so any
+        # root's label is the component label.
+        labels = _truncate(
+            vmin.join(
+                labels.withColumnRenamed("vertex", "r0"), "r0", "left"
+            ).select(
+                "vertex", F.coalesce("label", F.col("r0")).alias("label")
+            )
+        )
+        if checkpoint_dir:
+            # the converged snapshot must hold the COMPOSED labels so a
+            # resume's early return yields full components, not root labels
+            ckpt.write_checkpoint(labels, checkpoint_dir, step, metrics[-1])
 
     # compose back onto the full vertex set (blockuf labels cover exactly the
     # vertices of the original edges since every vertex appears in ≥1 block)
