@@ -92,7 +92,9 @@ def main() -> None:
             ).alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=True)
+        # columnar persist, NOT localCheckpoint: row-object caches feed the
+        # Arrow boundary ~4x slower (measured on the contraction input)
+        .persist()
     )
     n_synth = synth.count()
     north["n_synth_edges"] = n_synth

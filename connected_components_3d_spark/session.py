@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # numeric kernel batches (edge blocks through mapInPandas) amortize
+        # per-batch overhead much better than the 10k default; capped at 64k
+        # so wide binary rows (html payloads ~1KB) stay ~64MB per batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # Iterative kernels re-read small checkpoint tables many times; keep
         # the broadcast threshold at default 10MB so vertex-side dims of the
