@@ -442,6 +442,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse cells + probe + exact re-rank) — no SQL oracle
+    (approximate; exact-equality-at-full-probe and recall floors in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(emb, k=5, n_cells=16, n_probe=4).select(
+        "id_a", "id_b", "cos", F.col("rn").cast("int").alias("rn")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (deterministic fake decoder) — rows-only check."""
     from .operators.multimodal import extract_features, synthetic_media
@@ -797,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -144,6 +144,107 @@ def lsh_buckets(
     return out
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse quantizer: every (n/k)-th vector by id-rank is a
+    centroid — no RNG, identical under any partitioning. (A k-means refine
+    would drop in here at scale; the IVF plumbing is identical.)"""
+    w = Window.orderBy(id_col)
+    ranked = emb.withColumn("rk", F.row_number().over(w)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "rk"
+    )
+    n = emb.count()
+    step = max(n // n_cells, 1)
+    return (
+        ranked.where((F.col("rk") - 1) % step == 0)
+        .limit(n_cells)
+        .select("cid", "cvec")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, norm, cell): each vector assigned to its max-cosine centroid
+    (ties → smallest centroid id; deterministic). Broadcast the (tiny)
+    centroid table; the scoring is a codegen'd fold per pair."""
+    base = with_norm(emb, vec_col, id_col)
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "norm",
+        "cid",
+        (_dot(F.col("vec"), F.col("cvec"))).alias("proj"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("proj"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "norm", F.col("cid").alias("cell"))
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: assign vectors to coarse cells, probe each query's
+    ``n_probe`` closest cells, exact-cosine re-rank within the probed set.
+
+    ``n_probe == n_cells`` degenerates to exact brute force (property-tested
+    against cosine_topk_brute). At scale the candidate join shuffles on
+    ``cell`` — the partitioning key of the inverted file — so each cell's
+    postings co-locate; recall/work trades via (n_cells, n_probe).
+    """
+    cents = ivf_centroids(emb, n_cells, vec_col, id_col).localCheckpoint()
+    assigned = ivf_assign(emb, cents, vec_col, id_col).localCheckpoint(eager=False)
+
+    # per query: its n_probe best cells (by centroid projection)
+    base = with_norm(emb, vec_col, id_col)
+    probes = base.crossJoin(F.broadcast(cents)).select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("norm").alias("na"),
+        "cid",
+        _dot(F.col("vec"), F.col("cvec")).alias("proj"),
+    )
+    wp = Window.partitionBy("id_a").orderBy(F.desc("proj"), F.asc("cid"))
+    probed = (
+        probes.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_probe)
+        .select("id_a", "va", "na", F.col("cid").alias("cell"))
+    )
+    cand = probed.join(
+        assigned.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("norm").alias("nb"),
+            "cell",
+        ),
+        "cell",
+    ).where(F.col("id_a") != F.col("id_b"))
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    ).dropDuplicates(["id_a", "id_b"])
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     k: int = 5,
