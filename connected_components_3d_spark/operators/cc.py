@@ -146,6 +146,7 @@ def connected_components(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
+    checkpoint_format: str = "parquet",
     num_blocks: int | None = None,
     resume: bool = True,
 ) -> CCResult:
@@ -165,13 +166,6 @@ def connected_components(
         num_blocks = max(spark.sparkContext.defaultParallelism, 8)
 
     verts = vertices(edges)
-    # raw (non-distinct) symmetrization: duplicate edges cannot change a
-    # union-find or a min-aggregate, and the distinct() of the doubled edge
-    # table is the single most expensive shuffle of the whole job (measured
-    # ~40% of CC wall at 4M edges)
-    e_sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
 
     metrics: list[dict] = []
     start_step = 0
@@ -181,14 +175,26 @@ def connected_components(
         latest = ckpt.latest_valid_step(checkpoint_dir)
         if latest is not None:
             m = ckpt.read_manifest(checkpoint_dir, latest)
-            labels = ckpt.read_checkpoint(spark, checkpoint_dir, latest)
-            if m["metrics"].get("converged"):
-                return CCResult(
-                    labels.select("vertex", F.col("label").alias("component")),
-                    latest,
-                    [m["metrics"]],
-                )
-            start_step = latest + 1
+            if not ckpt.compatible_params(m, {"method": method}):
+                # snapshot from a different kernel (e.g. blockuf labels keyed
+                # by block roots resumed under hashmin): refuse silently-wrong
+                # composition; start fresh
+                latest = None
+            else:
+                recorded_blocks = (m.get("params") or {}).get("num_blocks")
+                if method == "blockuf" and recorded_blocks is not None:
+                    # block roots only reproduce under the SAME contraction
+                    # partitioning — pin it from the manifest, never from
+                    # defaultParallelism (which varies across clusters)
+                    num_blocks = recorded_blocks
+                labels = ckpt.read_checkpoint(spark, checkpoint_dir, latest)
+                if m["metrics"].get("converged"):
+                    return CCResult(
+                        labels.select("vertex", F.col("label").alias("component")),
+                        latest,
+                        [m["metrics"]],
+                    )
+                start_step = latest + 1
 
     # shuffle-once layout (same rationale as pagerank.py): the propagation
     # edge table is hash-partitioned by src ONCE and persisted; the
@@ -237,13 +243,23 @@ def connected_components(
                 roots_v.select("vertex", F.col("vertex").alias("label"))
             )
     elif method == "hashmin":
-        prop_edges = e_sym
+        # raw (non-distinct) symmetrization: duplicate edges cannot change a
+        # min-aggregate, and the distinct() of the doubled edge table is the
+        # single most expensive shuffle of the whole job (measured ~40% of CC
+        # wall at 4M edges)
+        prop_edges = edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         if labels is None:
             labels = _truncate(
                 verts.select("vertex", F.col("vertex").alias("label"))
             )
     else:
         raise ValueError(f"unknown method {method!r}")
+
+    _ckpt_params = {"method": method}
+    if method == "blockuf":
+        _ckpt_params["num_blocks"] = num_blocks
 
     # sorted-cached layout: SMJ re-sorts only the label/frontier side each
     # superstep, never the E-row edge side (see pagerank.py)
@@ -317,11 +333,21 @@ def connected_components(
         }
         metrics.append(m)
         if checkpoint_dir and (step % checkpoint_every == 0 or converged):
-            ckpt.write_checkpoint(labels, checkpoint_dir, step, m)
-            # re-read for plan truncation; frontier stays the (already
-            # materialized) changed set — resetting it to the full label
-            # table would make every checkpointed step full-width
-            labels = ckpt.read_checkpoint(spark, checkpoint_dir, step)
+            # blockuf NEVER commits converged=True from inside the loop: the
+            # labels here cover ROOT vertices only, and a crash between this
+            # write and the post-loop composition would make resume return
+            # root labels as final components (dropping every non-root
+            # vertex). The composed converged snapshot is written after
+            # composition below; hashmin labels are already full-vertex.
+            if not (converged and method == "blockuf"):
+                ckpt.write_checkpoint(
+                    labels, checkpoint_dir, step, m,
+                    params=_ckpt_params, table_format=checkpoint_format,
+                )
+                # re-read for plan truncation; frontier stays the (already
+                # materialized) changed set — resetting it to the full label
+                # table would make every checkpointed step full-width
+                labels = ckpt.read_checkpoint(spark, checkpoint_dir, step)
         if converged:
             break
     if not converged:
@@ -342,7 +368,12 @@ def connected_components(
         if checkpoint_dir:
             # the converged snapshot must hold the COMPOSED labels so a
             # resume's early return yields full components, not root labels
-            ckpt.write_checkpoint(labels, checkpoint_dir, step, metrics[-1])
+            # (the loop above skipped its converged write for blockuf — this
+            # is the ONLY converged=True commit on this path)
+            ckpt.write_checkpoint(
+                labels, checkpoint_dir, step, metrics[-1],
+                params=_ckpt_params, table_format=checkpoint_format,
+            )
 
     # compose back onto the full vertex set (blockuf labels cover exactly the
     # vertices of the original edges since every vertex appears in ≥1 block)

@@ -43,8 +43,20 @@ def write_checkpoint(
     ckpt_dir: str,
     step: int,
     metrics: dict[str, Any] | None = None,
+    *,
+    params: dict[str, Any] | None = None,
+    table_format: str = "parquet",
 ) -> str:
-    """Write one superstep's state atomically; returns the step dir."""
+    """Write one superstep's state atomically; returns the step dir.
+
+    ``params`` records the engine configuration the snapshot is only valid
+    under (e.g. CC's method + num_blocks): a resume against an incompatible
+    configuration must be refused, not silently mis-composed.
+
+    ``table_format`` is the sink-format seam: any Spark DataSource name drops
+    in (``"iceberg"`` once its runtime jars are on the classpath — the
+    manifest layout above is already snapshot-shaped). Parquet in-sandbox.
+    """
     sdir = _step_dir(ckpt_dir, step)
     tmp = sdir + ".tmp"
     if os.path.exists(tmp):
@@ -52,11 +64,13 @@ def write_checkpoint(
     if os.path.exists(sdir):
         shutil.rmtree(sdir)  # idempotent re-run of an uncommitted/stale step
     t0 = time.time()
-    df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+    df.write.mode("overwrite").format(table_format).save(os.path.join(tmp, "data"))
     files = []
     data_dir = os.path.join(tmp, "data")
     for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
+        # lineage covers every data file the source format produced (not just
+        # *.parquet), skipping Spark's _SUCCESS/.crc bookkeeping
+        if name.startswith(("_", ".")):
             continue
         path = os.path.join(data_dir, name)
         h = hashlib.md5()
@@ -71,6 +85,8 @@ def write_checkpoint(
         "schema": df.schema.jsonValue(),
         "files": files,
         "metrics": dict(metrics or {}),
+        "params": dict(params or {}),
+        "format": table_format,
         "write_wall_s": round(time.time() - t0, 3),
         "committed": True,
     }
@@ -127,4 +143,23 @@ def latest_valid_step(ckpt_dir: str) -> int | None:
 
 
 def read_checkpoint(spark: SparkSession, ckpt_dir: str, step: int) -> DataFrame:
-    return spark.read.parquet(os.path.join(_step_dir(ckpt_dir, step), "data"))
+    m = read_manifest(ckpt_dir, step) or {}
+    fmt = m.get("format", "parquet")
+    return (
+        spark.read.format(fmt).load(os.path.join(_step_dir(ckpt_dir, step), "data"))
+    )
+
+
+def compatible_params(
+    manifest: dict[str, Any] | None, expected: dict[str, Any]
+) -> bool:
+    """True iff the snapshot's recorded params don't contradict ``expected``.
+
+    Keys absent from the manifest (pre-params snapshots) are accepted;
+    a recorded value that differs from the expected one is a hard mismatch —
+    e.g. a blockuf snapshot resumed under method=hashmin, or under a
+    different num_blocks (block roots would not reproduce)."""
+    recorded = (manifest or {}).get("params") or {}
+    return all(
+        k not in recorded or recorded[k] == v for k, v in expected.items()
+    )

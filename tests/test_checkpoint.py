@@ -116,3 +116,107 @@ def test_uncommitted_manifest_ignored(spark, tmp_path):
     with open(mpath, "w") as f:
         json.dump(m, f)
     assert ckpt.latest_valid_step(cdir) in (None, *range(last))
+
+
+def test_blockuf_never_commits_converged_root_labels(spark, tmp_path):
+    """ADVICE r1 (high): a crash between the loop's converged write and the
+    pass-2 composition must NOT leave a committed converged=True snapshot of
+    root-only labels. Invariant checked two ways: (a) every converged=True
+    manifest in a finished run holds FULL-vertex labels; (b) with the final
+    (composed) step deleted — the crash window — resume reconverges and
+    composes correctly."""
+    pairs = chain_plus_cliques()
+    n_vertices = len({v for p in pairs for v in p})
+    cdir = str(tmp_path / "ckpt")
+    res = connected_components(
+        spark, edges_df(spark, pairs), method="blockuf", checkpoint_dir=cdir,
+        num_blocks=4,
+    )
+    want = sorted(map(tuple, res.components.collect()))
+    steps = sorted(
+        int(d.split("=")[1]) for d in os.listdir(cdir) if d.startswith("step=")
+    )
+    convergeds = [
+        s for s in steps
+        if (ckpt.read_manifest(cdir, s) or {}).get("metrics", {}).get("converged")
+    ]
+    assert convergeds, "no converged snapshot written"
+    for s in convergeds:
+        rows = ckpt.read_checkpoint(spark, cdir, s).count()
+        assert rows == n_vertices, (
+            f"converged snapshot step={s} has {rows} labels, expected full "
+            f"vertex set {n_vertices} (root-only labels committed as final)"
+        )
+    # (b) crash window: drop the composed step; only mid-run (converged=False)
+    # snapshots remain → resume must reconverge + compose, not early-return
+    crash_dir = str(tmp_path / "crash")
+    shutil.copytree(cdir, crash_dir)
+    shutil.rmtree(os.path.join(crash_dir, f"step={max(steps)}"))
+    res2 = connected_components(
+        spark, edges_df(spark, pairs), method="blockuf", checkpoint_dir=crash_dir,
+        num_blocks=4,
+    )
+    assert sorted(map(tuple, res2.components.collect())) == want
+
+
+def test_resume_refuses_method_mismatch(spark, tmp_path):
+    """ADVICE r1 (medium): a blockuf snapshot resumed under method=hashmin
+    (or vice versa) must be ignored, not silently mis-composed."""
+    pairs = chain_plus_cliques()
+    cdir = str(tmp_path / "ckpt")
+    connected_components(
+        spark, edges_df(spark, pairs), method="blockuf", checkpoint_dir=cdir,
+        num_blocks=4,
+    )
+    m = ckpt.read_manifest(cdir, ckpt.latest_valid_step(cdir))
+    assert m["params"]["method"] == "blockuf"
+    assert m["params"]["num_blocks"] == 4
+    res = connected_components(
+        spark, edges_df(spark, pairs), method="hashmin", checkpoint_dir=cdir
+    )
+    # fresh hashmin run (mismatch refused) still yields the right components
+    ref = connected_components(spark, edges_df(spark, pairs), method="hashmin")
+    assert sorted(map(tuple, res.components.collect())) == sorted(
+        map(tuple, ref.components.collect())
+    )
+
+
+def test_resume_pins_num_blocks_from_manifest(spark, tmp_path):
+    """Mid-run blockuf labels are keyed by block roots that only reproduce
+    under the SAME num_blocks — resume must pin it from the manifest even when
+    the caller passes a different (or default) value."""
+    pairs = chain_plus_cliques()
+    cdir = str(tmp_path / "ckpt")
+    res_full = connected_components(
+        spark, edges_df(spark, pairs), method="blockuf", checkpoint_dir=cdir,
+        num_blocks=3,
+    )
+    want = sorted(map(tuple, res_full.components.collect()))
+    steps = sorted(
+        int(d.split("=")[1]) for d in os.listdir(cdir) if d.startswith("step=")
+    )
+    crash_dir = str(tmp_path / "crash")
+    shutil.copytree(cdir, crash_dir)
+    shutil.rmtree(os.path.join(crash_dir, f"step={max(steps)}"))
+    # caller resumes with num_blocks unset → must pin 3 from the manifest
+    res2 = connected_components(
+        spark, edges_df(spark, pairs), method="blockuf", checkpoint_dir=crash_dir
+    )
+    assert sorted(map(tuple, res2.components.collect())) == want
+
+
+def test_checkpoint_table_format_seam(spark, tmp_path):
+    """The sink format is a config swap (Iceberg-ready seam): any DataSource
+    name round-trips through the same manifest/lineage machinery."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "vertex long, label long"
+    )
+    cdir = str(tmp_path / "ckpt_json")
+    ckpt.write_checkpoint(df, cdir, 0, {"converged": True}, table_format="json")
+    m = ckpt.read_manifest(cdir, 0)
+    assert m["format"] == "json"
+    assert ckpt.validate_step(cdir, 0)
+    back = ckpt.read_checkpoint(spark, cdir, 0)
+    assert sorted((r["vertex"], r["label"]) for r in back.collect()) == [
+        (1, 10), (2, 20), (3, 30),
+    ]
