@@ -276,6 +276,54 @@ def q_adjacency_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.select("vertex", nbr_str.alias("neighbors"), "deg")
 
 
+def q_cc_delta_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 (continuous delta mode) on the driver gate: a 1-D grid over
+    x = c_custkey (0-based contiguous) with fvalue f(x) = (3x) mod 7; under
+    4-connectivity an edge x↔x+1 survives iff |f(x+1)−f(x)| ≤ δ=3, i.e.
+    exactly where the +3 step doesn't wrap — components are maximal runs,
+    computable in closed form by the oracle (lag + running-max window)."""
+    from .operators.grid import grid_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    grid = cust.select(
+        F.col("c_custkey").cast("int").alias("x"),
+        F.lit(0).alias("y"),
+        F.lit(0).alias("z"),
+        F.lit(1).cast("long").alias("value"),
+        ((F.col("c_custkey") * 3) % 7).cast("double").alias("fvalue"),
+    )
+    # shape X only scales the (zero) y/z terms of the vertex id → vertex = x
+    return grid_components(
+        spark, grid, shape=(1 << 20, 1, 1), connectivity=4, delta=3.0,
+        method="blockuf",
+    )
+
+
+def q_cc_periodic_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 (periodic boundary) on the driver gate: a 1-D ring over
+    x = c_custkey ∈ [0, N) with multilabel value v(x) = 1 if (7x mod 13) < 8
+    else 2. The wrap edge (N−1 ↔ 0) exists because v(N−1) = v(0) at every SF,
+    merging the last run into the first (component 0) — the oracle computes
+    linear runs then applies the wrap merge in closed form."""
+    from .operators.grid import grid_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    grid = cust.select(
+        F.col("c_custkey").cast("int").alias("x"),
+        F.lit(0).alias("y"),
+        F.lit(0).alias("z"),
+        F.when((F.col("c_custkey") * 7) % 13 < 8, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("value"),
+    )
+    return grid_components(
+        spark, grid, shape=(n, 1, 1), connectivity=4, periodic_boundary=True,
+        method="hashmin",
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational substrate
 # ---------------------------------------------------------------------------
@@ -451,12 +499,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_cells degenerates to EXACT brute force — this
+    runs the whole IVF join pipeline (quantizer → assign → probe → candidate
+    join → re-rank) against the brute-force SQL oracle, hash-exact. The hard
+    correctness gate for the ANN path (VERDICT r1 #2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(emb, k=5, n_cells=16, n_probe=16).select(
+        "id_a", "id_b", "cos", F.col("rn").cast("int").alias("rn")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (deterministic fake decoder) — rows-only check."""
+    """Multimodal plumbing (deterministic fake decoder). The gate projection
+    re-quantizes each float32 feature back to its exact integer code
+    (feature = code/10000 with code < 10000, so round(x*10000) recovers the
+    code losslessly) — the array<float> column itself is not hashable by the
+    driver's pandas canonicalization (VERDICT r1 #1)."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 200, kind="image")
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    codes = F.array_join(
+        F.transform(
+            "feature", lambda x: F.round(x * 10000).cast("int").cast("string")
+        ),
+        ",",
+    )
+    return feats.select("media_id", "kind", codes.alias("feature_codes"), "feat_dim")
 
 
 # ---------------------------------------------------------------------------
@@ -615,6 +685,33 @@ SELECT doc_id,
 FROM sel"""
 
 
+def _multimodal_sql(n: int = 200, dim: int = 8) -> str:
+    """Independent DuckDB recomputation of the deterministic fake decoder
+    (multimodal.py::fake_decode_features): payload = utf-8 of hex md5 of
+    'payload'||media_id; feature code k = (little-endian uint32 at byte 4k of
+    the tiled md5(payload) digest) mod 10000. The 16-byte digest tiles, so
+    codes 4..7 repeat 0..3. Hex→byte via a broadcast 256-row lookup."""
+
+    def byte(j: int) -> str:
+        return f"(SELECT i FROM hexmap WHERE h = substr(m.h2, {2 * j + 1}, 2))"
+
+    ulist = ", ".join(
+        "(({terms}) % 10000) AS u{k}".format(
+            terms=" + ".join(f"{256 ** j} * {byte(4 * k + j)}" for j in range(4)),
+            k=k,
+        )
+        for k in range(4)
+    )
+    codes = ", ".join(f"u{k % 4}" for k in range(dim))
+    return f"""WITH hexmap AS (SELECT i, printf('%02x', i) AS h FROM range(0, 256) t(i)),
+m AS (SELECT i::BIGINT AS media_id, md5(md5('payload' || i::varchar)) AS h2
+      FROM range(0, {n}) t(i)),
+u AS (SELECT media_id, {ulist} FROM m)
+SELECT media_id, 'image' AS kind,
+  array_to_string([{codes}], ',') AS feature_codes, {dim}::INT AS feat_dim
+FROM u"""
+
+
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     """Left-associated Σ aᵢ·bᵢ — same addition order as Spark's sequential
     fold in similarity._dot ⇒ bit-identical doubles."""
@@ -708,6 +805,29 @@ SELECT least(pa.p_brand, pb.p_brand) AS label_a,
 FROM und e JOIN part pa ON pa.p_partkey = e.src
 JOIN part pb ON pb.p_partkey = e.dst
 WHERE pa.p_brand <> pb.p_brand GROUP BY 1, 2""",
+        # R4 continuous-delta grid: components are maximal runs where the
+        # step |f(x+1)-f(x)| ≤ δ; min-vertex label = run start (running max
+        # of boundary positions)
+        "cc_delta_grid": """WITH g AS (
+  SELECT c_custkey::BIGINT AS x, ((c_custkey * 3) % 7)::DOUBLE AS f FROM customer),
+b AS (SELECT x, f, lag(f) OVER (ORDER BY x) AS pf FROM g),
+s AS (SELECT x, CASE WHEN pf IS NULL OR abs(f - pf) > 3.0 THEN x END AS bd FROM b),
+c AS (SELECT x, MAX(bd) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS component FROM s)
+SELECT x AS vertex, component FROM c""",
+        # R6 periodic ring: linear runs, then the wrap edge (N-1 ↔ 0) merges
+        # the last run into component 0 when the endpoint values match
+        "cc_periodic_grid": """WITH g AS (
+  SELECT c_custkey::BIGINT AS x,
+    CASE WHEN (c_custkey * 7) % 13 < 8 THEN 1 ELSE 2 END AS v FROM customer),
+b AS (SELECT x, v, lag(v) OVER (ORDER BY x) AS pv FROM g),
+s AS (SELECT x, v, CASE WHEN pv IS NULL OR v <> pv THEN x END AS bd FROM b),
+lin AS (SELECT x, v, MAX(bd) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS comp FROM s),
+lastrow AS (SELECT comp AS lcomp, v AS lv FROM lin ORDER BY x DESC LIMIT 1)
+SELECT x AS vertex,
+  CASE WHEN (SELECT lv FROM lastrow) = (SELECT v FROM lin WHERE x = 0)
+        AND comp = (SELECT lcomp FROM lastrow)
+       THEN 0::BIGINT ELSE comp END AS component
+FROM lin""",
         "adjacency_tree": f"""WITH e0 AS {_TREE_EDGES_SQL},
 es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)
 SELECT src AS vertex,
@@ -769,8 +889,15 @@ SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
  FROM pairs) WHERE rn <= 5""",
         "embedding_near_dup": f"""WITH {_cosine_pairs_cte(64)}
 SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45 AND id_a < id_b""",
-        # ann_lsh_topk, multimodal_features: intentionally no oracle
-        # (approximate / binary-payload ops) → driver rows-only check.
+        # full-probe IVF ≡ exact brute force: same oracle as similarity_topk
+        "ann_ivf_full_probe": f"""WITH {_cosine_pairs_cte(64)}
+SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
+  ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)::INT AS rn
+ FROM pairs) WHERE rn <= 5""",
+        "multimodal_features": _multimodal_sql(200, 8),
+        # ann_lsh_topk, ann_ivf_topk: intentionally no oracle (approximate
+        # operators) → driver rows-only check; recall floors + full-probe
+        # exactness in pytest, plus the hash-exact ann_ivf_full_probe row.
     }
 
 
@@ -791,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_graph_brands": q_region_graph_brands,
         "contacts_brands": q_contacts_brands,
         "adjacency_tree": q_adjacency_tree,
+        "cc_delta_grid": q_cc_delta_grid,
+        "cc_periodic_grid": q_cc_periodic_grid,
         "pricing_summary": q_pricing_summary,
         "supplier_revenue": q_supplier_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -807,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_full_probe": q_ann_ivf_full_probe,
         "multimodal_features": q_multimodal_features,
     }
 
