@@ -193,3 +193,33 @@ def test_ivf_partial_probe_recall(spark):
     # probing half the cells of near-orthogonal random vectors: recall well
     # above the ~0.5 expected-cell-coverage floor
     assert recall >= 0.45, recall
+
+
+def test_ivf_centroids_deterministic_partition_invariant(spark):
+    """VERDICT r1 #3: the quantizer must be deterministic and independent of
+    the input's partitioning (hash-mod sample + TakeOrderedAndProject, no
+    global window)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+    base = sorted(r.cid for r in S.ivf_centroids(emb, n_cells=8).collect())
+    assert len(base) == 8
+    for parts in (1, 7, 32):
+        got = sorted(
+            r.cid for r in S.ivf_centroids(emb.repartition(parts), n_cells=8).collect()
+        )
+        assert got == base, parts
+
+
+def test_ann_plans_have_no_single_partition_exchange(spark):
+    """No ANN plan may funnel the embedding table through one task: global
+    windows/sorts show up as 'Exchange SinglePartition' in the physical plan
+    (TakeOrderedAndProject and per-key windows do not)."""
+    from connected_components_3d_spark.plans.audit import explain_str
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    for df in (
+        S.ivf_centroids(emb, n_cells=8),
+        S.cosine_topk_ivf(emb, k=3, n_cells=8, n_probe=2),
+        S.cosine_topk_lsh(emb, k=3, num_planes=4, num_tables=2),
+    ):
+        plan = explain_str(df)
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
