@@ -149,6 +149,10 @@ def connected_components(
     checkpoint_format: str = "parquet",
     num_blocks: int | None = None,
     resume: bool = True,
+    salting: bool | str = "auto",
+    num_salts: int = 8,
+    hot_key_threshold: int = 10_000_000,
+    salting_min_edges: int = 10_000_000,
 ) -> CCResult:
     """CC over a directed or undirected edge table.
 
@@ -269,6 +273,30 @@ def connected_components(
         stars.unpersist()
 
     n_edges = prop_edges.count()
+
+    # O13 hot-key mitigation (north rule: explicit skew handling). Map-side
+    # partial aggregation already bounds what a hub dst RECEIVES at the
+    # reducer (≤ one partial min per map partition); the salted two-stage
+    # path additionally bounds what any single map-side hash-agg task holds
+    # when one partition's edge block is dominated by a 10^8-in-link hub.
+    # min is decomposable → labels are bit-identical with salting on or off
+    # (property-tested). Detection is ONE extra groupBy(dst).count pass, paid
+    # only above ``salting_min_edges`` (≈ one superstep's scan, amortized
+    # over the O(log d) loop).
+    if salting == "auto":
+        if n_edges >= salting_min_edges:
+            max_indeg = (
+                prop_edges.groupBy("dst")
+                .agg(F.count("*").alias("c"))
+                .agg(F.max("c").alias("m"))
+                .collect()[0]["m"]
+            )
+            use_salting = (max_indeg or 0) > hot_key_threshold
+        else:
+            use_salting = False
+    else:
+        use_salting = bool(salting)
+
     step = start_step
     converged = False
     # frontier-based propagation: labels only ever DECREASE (min-lattice), so
@@ -284,11 +312,16 @@ def connected_components(
         # on a min-lattice: a new minimum can only arrive from a neighbor
         # whose label just dropped, so the E-row join shrinks with the
         # frontier and AQE broadcasts it once it is small)
-        nbr_min = (
-            prop_edges.join(frontier, prop_edges.src == frontier.vertex)
-            .groupBy(F.col("dst").alias("vertex"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        if use_salting:
+            from .skew import salted_min_join
+
+            nbr_min = salted_min_join(frontier, prop_edges, num_salts)
+        else:
+            nbr_min = (
+                prop_edges.join(frontier, prop_edges.src == frontier.vertex)
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
         stepped = labels.join(nbr_min, "vertex", "left").select(
             "vertex",
             F.col("label").alias("old_label"),

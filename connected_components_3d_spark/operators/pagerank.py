@@ -47,6 +47,10 @@ def pagerank(
     tol: float = 1.0e-6,
     max_iter: int = 100,
     fixed_iters: int | None = None,
+    salting: bool | str = "auto",
+    num_salts: int = 8,
+    hot_key_threshold: int = 10_000_000,
+    salting_min_edges: int = 10_000_000,
 ) -> PageRankResult:
     """PageRank on the DIRECTED edge table (duplicate edges are dropped —
     simple-graph semantics, matching a networkx DiGraph built from the same
@@ -93,6 +97,26 @@ def pagerank(
     ranks = _truncate(vstat.select("vertex", "out_deg", F.lit(1.0 / n).alias("rank")))
 
     n_edges = e.count()
+
+    # O13 two-level treatment for the per-dst contribution sum (skew.py
+    # rationale; min/sum are decomposable). NOTE: the salted path reassociates
+    # the double additions — ranks agree with the unsalted path to ~1e-15
+    # relative (well inside the 1e-6 parity gate), not bit-for-bit; hash-exact
+    # oracle queries run on small graphs where auto-detection never fires.
+    if salting == "auto":
+        if n_edges >= salting_min_edges:
+            max_indeg = (
+                e.groupBy("dst")
+                .agg(F.count("*").alias("c"))
+                .agg(F.max("c").alias("m"))
+                .collect()[0]["m"]
+            )
+            use_salting = (max_indeg or 0) > hot_key_threshold
+        else:
+            use_salting = False
+    else:
+        use_salting = bool(salting)
+
     iters = fixed_iters if fixed_iters is not None else max_iter
     metrics: list[dict] = []
     converged = False
@@ -102,15 +126,35 @@ def pagerank(
     danglesum = alpha * dangle0 / n
     for it in range(iters):
         t0 = time.time()
-        contribs = (
-            e.join(ranks.where(F.col("out_deg") > 0), e.src == F.col("vertex"))
-            .select(
-                F.col("dst").alias("vertex"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
-            .groupBy("vertex")
-            .agg(F.sum("c").alias("contrib"))
+        joined = e.join(
+            ranks.where(F.col("out_deg") > 0), e.src == F.col("vertex")
         )
+        if use_salting:
+            # partial sum per (dst, salt-of-src), final sum per dst — a hub
+            # dst spreads over num_salts reduce tasks (skew.py O13)
+            partial = (
+                joined.select(
+                    F.col("dst"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                    F.pmod(F.xxhash64(e.src), F.lit(num_salts))
+                    .cast("int")
+                    .alias("_salt"),
+                )
+                .groupBy("dst", "_salt")
+                .agg(F.sum("c").alias("_p"))
+            )
+            contribs = partial.groupBy(F.col("dst").alias("vertex")).agg(
+                F.sum("_p").alias("contrib")
+            )
+        else:
+            contribs = (
+                joined.select(
+                    F.col("dst").alias("vertex"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("contrib"))
+            )
         base = danglesum / n + (1.0 - alpha) / n
         new_ranks = ranks.join(contribs, "vertex", "left").select(
             "vertex",
