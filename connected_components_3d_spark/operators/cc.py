@@ -171,6 +171,29 @@ def connected_components(
 
     verts = vertices(edges)
 
+    # int-packing: when every vertex id fits in int32, run the contraction
+    # and the whole fixpoint on int columns — halves the persisted edge
+    # cache, the Arrow transfer into the numpy block-UF, and every
+    # per-superstep scan/shuffle byte (the memory-bandwidth-bound regime,
+    # BENCH.md §2; attacks the 8→32 scaling wall). The range check is one
+    # shuffle-free map-side min/max pass; it is a pure function of the data,
+    # so resumed runs re-derive the same decision. Output is cast back to
+    # long after the loop — the public (vertex, component) schema is fixed.
+    rng = edges.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+    ).collect()[0]
+    packed = (
+        rng["lo"] is not None
+        and rng["lo"] >= -2147483648
+        and rng["hi"] <= 2147483647
+    )
+    if packed:
+        edges = edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+
     metrics: list[dict] = []
     start_step = 0
     labels: DataFrame | None = None
@@ -264,6 +287,20 @@ def connected_components(
     _ckpt_params = {"method": method}
     if method == "blockuf":
         _ckpt_params["num_blocks"] = num_blocks
+
+    if packed:
+        # the loop state follows the edge width: blockuf's stars/root graph
+        # come back long from the numpy kernel, and resumed checkpoints may
+        # be either width — normalize both sides to int (ids are in range:
+        # loop vertices ⊆ edge endpoints)
+        prop_edges = prop_edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+        labels = labels.select(
+            F.col("vertex").cast("int").alias("vertex"),
+            F.col("label").cast("int").alias("label"),
+        )
 
     # sorted-cached layout: SMJ re-sorts only the label/frontier side each
     # superstep, never the E-row edge side (see pagerank.py)
@@ -386,6 +423,11 @@ def connected_components(
     if not converged:
         raise RuntimeError(f"CC did not converge within {max_iter} supersteps")
     prop_edges.unpersist()
+    if packed:
+        labels = labels.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("label").cast("long").alias("label"),
+        )
 
     if method == "blockuf" and vmin is not None:
         # pass-2 composition: every vertex adopts its (min) block-root's

@@ -65,6 +65,24 @@ def pagerank(
     # LogicalRDD reports UnknownPartitioning — so persist() carries the
     # co-partitioning and periodic localCheckpoints bound plan growth.)
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # int-packing (see cc.py): when ids fit in int32, the persisted edge
+    # cache, the distinct, and every per-iteration scan/shuffle run at half
+    # the key width. One shuffle-free min/max pass decides; the public
+    # (vertex long, rank double) schema is restored on return.
+    rng = edges.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+    ).collect()[0]
+    packed = (
+        rng["lo"] is not None
+        and rng["lo"] >= -2147483648
+        and rng["hi"] <= 2147483647
+    )
+    if packed:
+        edges = edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
     # sortWithinPartitions: the cached relation keeps its ordering metadata,
     # so the per-iteration sort-merge join re-sorts only the (small) ranks
     # side — never the E-row edge side (measured 5x per-iteration win)
@@ -80,7 +98,8 @@ def pagerank(
     if n == 0:
         return PageRankResult(
             verts.select(
-                F.col("vertex"), F.lit(0.0).alias("rank")
+                F.col("vertex").cast("long").alias("vertex"),
+                F.lit(0.0).alias("rank"),
             ),
             0,
             True,
@@ -195,9 +214,10 @@ def pagerank(
     if fixed_iters is not None:
         converged = True
     e.unpersist()  # final ranks are persisted+materialized; edges can go
-    return PageRankResult(
-        ranks.select("vertex", "rank"), it + 1, converged, metrics
-    )
+    out = ranks.select(
+        F.col("vertex").cast("long").alias("vertex"), "rank"
+    ) if packed else ranks.select("vertex", "rank")
+    return PageRankResult(out, it + 1, converged, metrics)
 
 
 def pagerank_single_node(

@@ -110,16 +110,32 @@ def contacts(edges: DataFrame, labels: DataFrame, weight: str | None = None) -> 
     return e.groupBy("label_a", "label_b").agg(agg)
 
 
-def adjacency_summary(edges: DataFrame) -> DataFrame:
+def adjacency_summary(edges: DataFrame, max_neighbors: int | None = None) -> DataFrame:
     """Per-vertex sorted neighbor list + degree (R13's per-voxel connectivity
-    bitfield, generalized to sparse adjacency)."""
+    bitfield, generalized to sparse adjacency).
+
+    ``max_neighbors`` is the hub guard for web scale: a 10^8-degree hub would
+    otherwise materialize one multi-GB array row in one task. With a cap, the
+    kept list is the ``max_neighbors`` SMALLEST neighbor ids (deterministic),
+    selected by a per-vertex window BEFORE any array is built — the heavy row
+    never exists; ``deg`` stays the TRUE degree either way. The exact R13
+    parity query runs uncapped on grid-scale inputs."""
     from .edges import symmetrize
 
-    return (
-        symmetrize(edges)
-        .groupBy(F.col("src").alias("vertex"))
-        .agg(
+    sym = symmetrize(edges)
+    if max_neighbors is None:
+        return sym.groupBy(F.col("src").alias("vertex")).agg(
             F.sort_array(F.collect_set("dst")).alias("neighbors"),
+            F.count("*").alias("deg"),
+        )
+    w = Window.partitionBy("src").orderBy(F.asc("dst"))
+    ranked = sym.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("src").alias("vertex"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_neighbors, F.col("dst")))
+            ).alias("neighbors"),
             F.count("*").alias("deg"),
         )
     )

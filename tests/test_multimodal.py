@@ -46,3 +46,23 @@ def test_frame_sample_plan(spark):
     meta = {r.media_id: r.duration_ms for r in media.collect()}
     for r in rows:
         assert r["count"] == meta[r.media_id] // 1000 + 1
+
+
+def test_real_decoder_seam_flows_through_extract(spark, monkeypatch):
+    """VERDICT r1 #9: swapping in a real decoder is replacing one pure
+    function — a monkeypatched 'real' decoder must flow through the same
+    mapInPandas plumbing (schema, batching, dim) with use_real_decoder=True."""
+    import numpy as np
+
+    def fake_real_decoder(payload: bytes) -> np.ndarray:
+        # deterministic stand-in for PIL/opencv: length-derived constant
+        return np.full(8, (len(payload) % 97) / 97.0, dtype=np.float32)
+
+    monkeypatch.setattr(M, "decode_image_bytes", fake_real_decoder)
+    media = M.synthetic_media(spark, 50, kind="image")
+    rows = M.extract_features(media, dim=8, use_real_decoder=True).collect()
+    assert len(rows) == 50
+    want = (32 % 97) / 97.0  # payloads are 32-byte md5-hex strings
+    for r in rows:
+        assert r.feat_dim == 8 and len(r.feature) == 8
+        assert all(abs(x - want) < 1e-6 for x in r.feature)

@@ -97,3 +97,25 @@ def test_estimate_provisional_labels(spark):
     pairs = [(i, i + 1) for i in range(1000)]
     est = S.estimate_provisional_labels(edges_df(spark, pairs))
     assert 900 <= est <= 1100  # ±5% of 1001
+
+
+def test_adjacency_summary_max_neighbors_cap(spark):
+    """Hub guard (VERDICT r1 #7): a high-degree vertex keeps only its
+    max_neighbors smallest neighbor ids, deg stays the TRUE degree, and
+    low-degree vertices are unaffected (cap ≥ deg → identical to uncapped)."""
+    hub = 0
+    pairs = [(hub, i) for i in range(1, 501)] + [(900, 901), (901, 902)]
+    e = edges_df(spark, pairs)
+    capped = {
+        r.vertex: (list(r.neighbors), r.deg)
+        for r in S.adjacency_summary(e, max_neighbors=10).collect()
+    }
+    assert capped[hub] == (list(range(1, 11)), 500)
+    assert capped[901] == ([900, 902], 2)
+    # vertices under the cap match the exact variant
+    exact = {
+        r.vertex: (list(r.neighbors), r.deg)
+        for r in S.adjacency_summary(e).collect()
+    }
+    for v in (900, 901, 902, 5, 250):
+        assert capped[v] == exact[v]
