@@ -1,0 +1,95 @@
+"""Mechanical bench-regression gate (VERDICT r1 #10).
+
+Compares a bench.py JSON line against the checked-in BENCH_SNAPSHOT.json and
+exits non-zero when a steady-state median regressed beyond the tolerance —
+so a round-over-round kernel regression is caught by a command, not by a
+human reading BENCH.md.
+
+Only the per-superstep / per-iteration MEDIANS are gated: one-shot total
+walls on a shared VM swing ±15% with no code change (BENCH.md §2), medians
+are the stable signal. The snapshot records the config it was measured
+under (synthetic edge count, cpus); a run under any other config is
+ignored rather than mis-compared.
+
+Usage:
+  python scripts/bench_check.py --from out.json     # check an existing line
+  python scripts/bench_check.py                     # run kernels-only bench, then check
+  python scripts/bench_check.py --update out.json   # re-pin the snapshot
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAPSHOT = os.path.join(REPO, "BENCH_SNAPSHOT.json")
+
+GATED = ["cc_median_superstep_s", "pr_median_iter_s"]
+
+
+def load_bench(path: str | None) -> dict:
+    if path:
+        with open(path) as f:
+            text = f.read()
+    else:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_KERNELS_ONLY"] = "1"
+        env.setdefault("SPARK_GRAFT_CPUS", "32")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        text = out.stdout
+    line = [l for l in text.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    src = None
+    update = False
+    if "--from" in args:
+        src = args[args.index("--from") + 1]
+    if "--update" in args:
+        src = args[args.index("--update") + 1]
+        update = True
+    bench = load_bench(src)
+    cfg = {
+        "n_synth_edges": bench["north"]["n_synth_edges"],
+        "cpus": bench.get("cpus", "32"),
+    }
+    if update:
+        snap = {
+            "config": cfg,
+            "medians": {k: bench["north"][k] for k in GATED},
+            "max_regression": 1.4,
+        }
+        with open(SNAPSHOT, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        print(f"pinned {SNAPSHOT}: {snap['medians']}")
+        return 0
+
+    if not os.path.exists(SNAPSHOT):
+        print("no BENCH_SNAPSHOT.json — run with --update first")
+        return 1
+    with open(SNAPSHOT) as f:
+        snap = json.load(f)
+    if snap["config"] != cfg:
+        print(f"config mismatch (snapshot {snap['config']} vs run {cfg}) — skipped")
+        return 0
+    tol = snap.get("max_regression", 1.4)
+    failed = 0
+    for k in GATED:
+        want, got = snap["medians"][k], bench["north"][k]
+        verdict = "ok" if got <= want * tol else "REGRESSED"
+        if verdict != "ok":
+            failed += 1
+        print(f"{verdict:>9}  {k}: {got:.3f}s vs pinned {want:.3f}s (tol {tol}x)")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
