@@ -299,6 +299,51 @@ def q_cc_delta_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grid_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 full statistics (size + bounding box + centroid) over the delta-grid
+    components. Coordinates are integers, so the SUM under each AVG is exact
+    in both engines — centroids are bit-stable; rounded to 6 regardless."""
+    comps = q_cc_delta_grid(spark, sf_dir)
+    coords = comps.select(
+        "vertex",
+        F.col("vertex").cast("int").alias("x"),
+        F.lit(0).alias("y"),
+        F.lit(0).alias("z"),
+    )
+    st = stats.statistics(comps.select("vertex", "component"), coords)
+    return st.select(
+        "component",
+        "size",
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+        "z_min",
+        "z_max",
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        F.round("cz", 6).alias("cz"),
+    )
+
+
+def q_adjacency_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-guarded R13 variant on the gate: neighbors capped to the 3
+    smallest ids, degree stays exact (stats.adjacency_summary max_neighbors)."""
+    adj = stats.adjacency_summary(tree_edges(spark, sf_dir), max_neighbors=3)
+    nbr_str = F.array_join(
+        F.transform("neighbors", lambda x: x.cast("string")), ","
+    )
+    return adj.select("vertex", nbr_str.alias("neighbors"), "deg")
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: LSH candidates → Jaccard ≥ 0.6 → CC grouping.
+    Oracle recomputes the pair set in SQL and closes it transitively with a
+    recursive CTE (min reachable id = the group id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_groups(spark, docs, jaccard_threshold=0.6)
+
+
 def q_cc_periodic_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 (periodic boundary) on the driver gate: a 1-D ring over
     x = c_custkey ∈ [0, N) with multilabel value v(x) = 1 if (7x mod 13) < 8
@@ -828,6 +873,49 @@ SELECT x AS vertex,
         AND comp = (SELECT lcomp FROM lastrow)
        THEN 0::BIGINT ELSE comp END AS component
 FROM lin""",
+        # R7 full stats over the delta-grid components (integer coords →
+        # exact sums under the AVGs; see q_grid_stats_delta)
+        "grid_stats_delta": """WITH g AS (
+  SELECT c_custkey::BIGINT AS x, ((c_custkey * 3) % 7)::DOUBLE AS f FROM customer),
+b AS (SELECT x, f, lag(f) OVER (ORDER BY x) AS pf FROM g),
+s AS (SELECT x, CASE WHEN pf IS NULL OR abs(f - pf) > 3.0 THEN x END AS bd FROM b),
+c AS (SELECT x, MAX(bd) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS component FROM s)
+SELECT component, COUNT(*)::BIGINT AS size,
+  MIN(x) AS x_min, MAX(x) AS x_max,
+  0 AS y_min, 0 AS y_max, 0 AS z_min, 0 AS z_max,
+  ROUND(AVG(x), 6) AS cx, 0.0::DOUBLE AS cy, 0.0::DOUBLE AS cz
+FROM c GROUP BY component""",
+        "adjacency_capped": f"""WITH e0 AS {_TREE_EDGES_SQL},
+es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+rk AS (SELECT src, dst,
+  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn FROM es)
+SELECT src AS vertex,
+  array_to_string(list_sort(list(dst) FILTER (WHERE rn <= 3)), ',') AS neighbors,
+  COUNT(*)::BIGINT AS deg
+FROM rk GROUP BY src""",
+        # transitive closure of the ≥0.6-Jaccard pairs via recursive CTE;
+        # group id = min reachable doc id (same equivalence classes as the
+        # engine's CC over the identical pair set)
+        "dedup_groups": f"""WITH RECURSIVE {_minhash_bands_cte(16, 2)},
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b,
+   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS n_inter,
+   len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c JOIN shs sa ON sa.id = c.id_a JOIN shs sb ON sb.id = c.id_b),
+jac AS (SELECT id_a, id_b,
+   ROUND(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS j FROM inter),
+e AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE j >= 0.6),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(src, dst) AS (
+  SELECT src, dst FROM es
+  UNION
+  SELECT r.src, es.dst FROM reach r JOIN es ON es.src = r.dst),
+grp AS (SELECT src AS v, LEAST(src, MIN(dst)) AS g FROM reach GROUP BY src)
+SELECT d.doc_id::BIGINT AS doc_id,
+  COALESCE(grp.g, d.doc_id)::BIGINT AS group_id
+FROM documents d LEFT JOIN grp ON grp.v = d.doc_id""",
         "adjacency_tree": f"""WITH e0 AS {_TREE_EDGES_SQL},
 es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)
 SELECT src AS vertex,
@@ -920,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_tree": q_adjacency_tree,
         "cc_delta_grid": q_cc_delta_grid,
         "cc_periodic_grid": q_cc_periodic_grid,
+        "grid_stats_delta": q_grid_stats_delta,
+        "adjacency_capped": q_adjacency_capped,
         "pricing_summary": q_pricing_summary,
         "supplier_revenue": q_supplier_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -927,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
         "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,

@@ -343,6 +343,8 @@ def connected_components(
     # a broadcast, turning late supersteps into map-side joins. On resume the
     # frontier is unknown → one full-width step re-establishes it.
     frontier = labels  # (vertex, label)
+    n_labels = labels.count()
+    prev_changed: int | None = None
     for step in range(start_step, max_iter):
         t0 = time.time()
         # (1) neighbor-min along edges OUT OF THE FRONTIER only (labels live
@@ -368,26 +370,45 @@ def connected_components(
         )
         # (2) FULL pointer jump label ← label(label) over all vertices — the
         # doubling that makes high-diameter chains converge in O(log d)
-        # supersteps (a V-row self-join, cheap next to the E-row join; the
-        # labels map is total: every label value is a vertex id in `labels`)
-        jump = labels.select(
-            F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
+        # supersteps (the labels map is total: every label value is a vertex
+        # id in `labels`). The jump is a V⋈V self-join that re-shuffles BOTH
+        # 10M-row sides every superstep — once the frontier has collapsed
+        # below 0.5% of V it is pure overhead (measured ~half the wall of a
+        # near-converged superstep at 40M edges), and neighbor-min alone is
+        # exact, so it is skipped. The fraction gate (not an absolute count)
+        # keeps O(log d) convergence on high-diameter graphs, where the
+        # frontier stays a large fraction of V until the very end.
+        do_jump = prev_changed is None or prev_changed >= max(
+            int(0.005 * n_labels), 32
         )
-        new_labels = _truncate(
-            stepped.join(jump, stepped.mid_label == jump.j_vertex, "left").select(
-                "vertex",
-                "old_label",
-                F.least(
-                    F.col("mid_label"), F.coalesce("j_label", F.col("mid_label"))
-                ).alias("label"),
+        if do_jump:
+            jump = labels.select(
+                F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
             )
-        )
+            new_labels = _truncate(
+                stepped.join(
+                    jump, stepped.mid_label == jump.j_vertex, "left"
+                ).select(
+                    "vertex",
+                    "old_label",
+                    F.least(
+                        F.col("mid_label"), F.coalesce("j_label", F.col("mid_label"))
+                    ).alias("label"),
+                )
+            )
+        else:
+            new_labels = _truncate(
+                stepped.select(
+                    "vertex", "old_label", F.col("mid_label").alias("label")
+                )
+            )
         # frontier for the next superstep = vertices whose label changed via
         # EITHER the neighbor-min or the jump
         frontier = new_labels.where(F.col("label") != F.col("old_label")).select(
             "vertex", "label"
         )
         changed = frontier.count()
+        prev_changed = changed
         labels = new_labels.select("vertex", "label")
         gc.collect()  # drop py4j refs to superseded checkpoint RDDs promptly
         wall = time.time() - t0

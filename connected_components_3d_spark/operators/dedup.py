@@ -213,3 +213,41 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     for t in bit_terms[1:]:
         total = total + t
     return docs.select(F.col(id_col).alias("id"), total.cast("long").alias("simhash"))
+
+
+def near_dup_groups(
+    spark,
+    docs: DataFrame,
+    jaccard_threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """End-to-end near-duplicate GROUPING — the full training-data dedup
+    pipeline as one operator: MinHash-LSH candidates → exact n-gram Jaccard
+    verify → connected components over the ≥threshold pairs → one group id
+    (min doc_id of the equivalence class) per document; singletons keep
+    their own id. The CC step means transitively-linked dupes (A≈B≈C with
+    A,C never a candidate pair) still land in ONE group — groupBy on a pair
+    list can't express that. Scale shape: every stage is the already-bucketed
+    LSH/join machinery above plus the O(log d) CC fixpoint on the (tiny)
+    dup-pair graph."""
+    from .cc import connected_components
+
+    cand = lsh_candidate_pairs(docs, text_col, id_col, num_hashes, band_size, shingle_n)
+    jac = ngram_jaccard_pairs(docs, cand, text_col, id_col, shingle_n)
+    edges = jac.where(F.col("jaccard") >= jaccard_threshold).select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    comps = connected_components(spark, edges, method="hashmin").components
+    return (
+        docs.select(F.col(id_col).cast("long").alias("vertex"))
+        .join(comps, "vertex", "left")
+        .select(
+            F.col("vertex").alias(id_col),
+            F.coalesce("component", F.col("vertex")).alias("group_id"),
+        )
+    )

@@ -223,3 +223,33 @@ def test_ann_plans_have_no_single_partition_exchange(spark):
     ):
         plan = explain_str(df)
         assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_near_dup_groups_transitive(spark):
+    """near_dup_groups must place transitively-linked dupes (A≈B, B≈C, A–C
+    never candidates) into ONE group keyed by the min doc_id, and leave
+    non-dupes as singletons."""
+    import pandas as pd
+
+    from connected_components_3d_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    base + "alpha beta gamma delta epsilon",
+                    base + "alpha beta gamma delta zeta",     # ≈ doc 0
+                    base + "alpha beta gamma eta zeta",       # ≈ doc 1
+                    "completely different text about spark engines and graphs",
+                ],
+            }
+        )
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in D.near_dup_groups(spark, docs, jaccard_threshold=0.5).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3
