@@ -197,6 +197,7 @@ def connected_components(
     metrics: list[dict] = []
     start_step = 0
     labels: DataFrame | None = None
+    resume_root_fp: str | None = None
 
     if checkpoint_dir and resume:
         latest = ckpt.latest_valid_step(checkpoint_dir)
@@ -208,6 +209,7 @@ def connected_components(
                 # composition; start fresh
                 latest = None
             else:
+                resume_root_fp = (m.get("params") or {}).get("root_fp")
                 recorded_blocks = (m.get("params") or {}).get("num_blocks")
                 if method == "blockuf" and recorded_blocks is not None:
                     # block roots only reproduce under the SAME contraction
@@ -260,6 +262,24 @@ def connected_components(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
+        # root-graph fingerprint (ADVICE r1): mid-run blockuf labels are
+        # keyed by block roots that only reproduce over the SAME input — a
+        # resume against a drifted edge table would silently mis-compose
+        # (the pass-2 coalesce masks missed joins). Fingerprint = (edge
+        # count, bounded hash sum) of the recomputed root graph, recorded in
+        # every manifest and compared on mid-run resume; mismatch restarts
+        # from scratch. (The converged early-return above predates the
+        # contraction, so it is guarded by method/num_blocks only.)
+        fp_row = root_edges.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))
+            ).alias("s"),
+        ).collect()[0]
+        root_fp = f"{fp_row['n']}:{fp_row['s'] or 0}"
+        if start_step > 0 and resume_root_fp is not None and resume_root_fp != root_fp:
+            labels = None
+            start_step = 0
         if labels is None:
             # loop state lives on ROOT vertices only; canonical min-vertex
             # labels are preserved because the global minimum of a component
@@ -287,6 +307,7 @@ def connected_components(
     _ckpt_params = {"method": method}
     if method == "blockuf":
         _ckpt_params["num_blocks"] = num_blocks
+        _ckpt_params["root_fp"] = root_fp
 
     if packed:
         # the loop state follows the edge width: blockuf's stars/root graph

@@ -16,7 +16,7 @@ import gc
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .edges import symmetrize, vertices
@@ -41,12 +41,50 @@ def label_propagation(
     initial_labels: DataFrame | None = None,
     max_iter: int = 20,
     fixed_iters: int | None = None,
+    salting: bool | str = "auto",
+    num_salts: int = 8,
+    hot_key_threshold: int = 10_000_000,
+    salting_min_edges: int = 10_000_000,
 ) -> LPAResult:
     """LPA over the undirected view of ``edges``.
 
     ``initial_labels(vertex, label)`` defaults to label = vertex id.
     ``fixed_iters`` runs exactly k sync updates (oracle-parity mode).
     """
+    # int-packing (see cc.py): half-width keys for the cached edge table and
+    # every per-iteration histogram shuffle when ids fit int32
+    rng = edges.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+    ).collect()[0]
+    packed = (
+        rng["lo"] is not None
+        and rng["lo"] >= -2147483648
+        and rng["hi"] <= 2147483647
+    )
+    if packed:
+        edges = edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+        if initial_labels is not None:
+            # initial labels are arbitrary longs; only pack when they fit too
+            lrng = initial_labels.agg(
+                F.min("label").alias("lo"), F.max("label").alias("hi")
+            ).collect()[0]
+            if lrng["lo"] is not None and not (
+                lrng["lo"] >= -2147483648 and lrng["hi"] <= 2147483647
+            ):
+                packed = False
+                edges = edges.select(
+                    F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst"),
+                )
+            elif lrng["lo"] is not None:
+                initial_labels = initial_labels.select(
+                    F.col("vertex").cast("int").alias("vertex"),
+                    F.col("label").cast("int").alias("label"),
+                )
     # sorted-cached edge layout (see pagerank.py): the per-iteration
     # histogram join re-sorts only the labels side, never the edge side
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -66,23 +104,62 @@ def label_propagation(
     labels = _truncate(labels)
 
     n_edges = e.count()
+
+    # O13 hot-key treatment for the histogram count (same detector as cc.py;
+    # count decomposes as partial count + final sum, so results are exact)
+    if salting == "auto":
+        if n_edges >= salting_min_edges:
+            max_indeg = (
+                e.groupBy("dst")
+                .agg(F.count("*").alias("c"))
+                .agg(F.max("c").alias("m"))
+                .collect()[0]["m"]
+            )
+            use_salting = (max_indeg or 0) > hot_key_threshold
+        else:
+            use_salting = False
+    else:
+        use_salting = bool(salting)
+
     iters = fixed_iters if fixed_iters is not None else max_iter
     metrics: list[dict] = []
     converged = False
     it = 0
-    w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("nbr_label"))
     for it in range(iters):
         t0 = time.time()
         # neighbor label histogram: for edge (src,dst), dst sees src's label
-        nbr = (
-            e.join(labels.withColumnRenamed("vertex", "src"), "src")
-            .groupBy(F.col("dst").alias("vertex"), F.col("label").alias("nbr_label"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        best = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vertex", F.col("nbr_label").alias("new_label"))
+        joined = e.join(labels.withColumnRenamed("vertex", "src"), "src")
+        if use_salting:
+            partial = (
+                joined.select(
+                    F.col("dst"),
+                    F.col("label").alias("nbr_label"),
+                    F.pmod(F.xxhash64(e.src), F.lit(num_salts))
+                    .cast("int")
+                    .alias("_salt"),
+                )
+                .groupBy("dst", "nbr_label", "_salt")
+                .agg(F.count("*").alias("_c"))
+            )
+            nbr = partial.groupBy(
+                F.col("dst").alias("vertex"), "nbr_label"
+            ).agg(F.sum("_c").alias("cnt"))
+        else:
+            nbr = (
+                joined.groupBy(
+                    F.col("dst").alias("vertex"),
+                    F.col("label").alias("nbr_label"),
+                )
+                .agg(F.count("*").alias("cnt"))
+            )
+        # per-vertex argmax via min_by over (-cnt, label): partial-
+        # aggregatable (no per-vertex sort, no window) and hub-safe — a
+        # 10^8-distinct-label hub never materializes one sorted partition.
+        # Ties break to the SMALLEST label by the lexicographic struct order.
+        best = nbr.groupBy("vertex").agg(
+            F.min_by(
+                "nbr_label", F.struct((-F.col("cnt")).alias("nc"), "nbr_label")
+            ).alias("new_label")
         )
         new_labels = labels.join(best, "vertex", "left").select(
             "vertex",
@@ -108,6 +185,11 @@ def label_propagation(
     if fixed_iters is not None:
         converged = True
     e.unpersist()  # labels are localCheckpoint-materialized
+    if packed:
+        labels = labels.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("label").cast("long").alias("label"),
+        )
     return LPAResult(labels, it + 1, converged, metrics)
 
 

@@ -220,3 +220,32 @@ def test_checkpoint_table_format_seam(spark, tmp_path):
     assert sorted((r["vertex"], r["label"]) for r in back.collect()) == [
         (1, 10), (2, 20), (3, 30),
     ]
+
+
+def test_resume_refuses_drifted_input_via_root_fingerprint(spark, tmp_path):
+    """Mid-run blockuf checkpoints record a root-graph fingerprint; resuming
+    against a DIFFERENT edge table must restart from scratch and label the
+    new graph correctly (not mis-compose old root labels)."""
+    pairs_a = chain_plus_cliques()
+    cdir = str(tmp_path / "ckpt")
+    connected_components(
+        spark, edges_df(spark, pairs_a), method="blockuf", checkpoint_dir=cdir,
+        num_blocks=4,
+    )
+    # leave only mid-run snapshots (drop the converged composed step)
+    steps = sorted(
+        int(d.split("=")[1]) for d in os.listdir(cdir) if d.startswith("step=")
+    )
+    shutil.rmtree(os.path.join(cdir, f"step={max(steps)}"))
+    m = ckpt.read_manifest(cdir, ckpt.latest_valid_step(cdir))
+    assert "root_fp" in m["params"]
+    # different input against the same checkpoint dir
+    pairs_b = [(i, i + 1) for i in range(500, 700)] + [(42, 43)]
+    res = connected_components(
+        spark, edges_df(spark, pairs_b), method="blockuf", checkpoint_dir=cdir,
+        num_blocks=4,
+    )
+    ref = connected_components(spark, edges_df(spark, pairs_b), method="blockuf")
+    assert sorted(map(tuple, res.components.collect())) == sorted(
+        map(tuple, ref.components.collect())
+    )

@@ -101,3 +101,15 @@ def test_pagerank_salting_on_off_close(spark, edges):
     }
     assert base.keys() == salted.keys()
     assert max(abs(base[v] - salted[v]) for v in base) < 1e-12
+
+
+def test_lpa_salting_on_off_bit_identical(spark, edges):
+    """LPA's salted two-stage histogram count (count → sum) is exactly
+    decomposable — labels must be bit-identical with salting on or off."""
+    from connected_components_3d_spark.operators.lpa import label_propagation
+
+    base = label_propagation(spark, edges, fixed_iters=3, salting=False)
+    salted = label_propagation(
+        spark, edges, fixed_iters=3, salting=True, num_salts=8
+    )
+    assert _rows(salted.labels) == _rows(base.labels)
