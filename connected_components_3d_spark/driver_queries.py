@@ -299,6 +299,27 @@ def q_cc_delta_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_binary_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 (binary_image mode) on the driver gate: values cycle 0,1,2 along
+    x = c_custkey; value 0 is background. Binary mode connects ANY two
+    foreground neighbors — so each (3k+1, 3k+2) pair forms one component
+    (multilabel would keep them apart, value 1 ≠ 2), giving a closed-form
+    oracle: component = x − ((x−1) mod 3)."""
+    from .operators.grid import grid_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    grid = cust.select(
+        F.col("c_custkey").cast("int").alias("x"),
+        F.lit(0).alias("y"),
+        F.lit(0).alias("z"),
+        (F.col("c_custkey") % 3).cast("long").alias("value"),
+    )
+    return grid_components(
+        spark, grid, shape=(1 << 20, 1, 1), connectivity=4, binary_image=True,
+        method="blockuf",
+    )
+
+
 def q_grid_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R7 full statistics (size + bounding box + centroid) over the delta-grid
     components. Coordinates are integers, so the SUM under each AVG is exact
@@ -859,6 +880,12 @@ b AS (SELECT x, f, lag(f) OVER (ORDER BY x) AS pf FROM g),
 s AS (SELECT x, CASE WHEN pf IS NULL OR abs(f - pf) > 3.0 THEN x END AS bd FROM b),
 c AS (SELECT x, MAX(bd) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS component FROM s)
 SELECT x AS vertex, component FROM c""",
+        # R5 binary mode: foreground pairs (3k+1, 3k+2) merge regardless of
+        # their (different) labels; background x ≡ 0 (mod 3) is dropped
+        "cc_binary_grid": """SELECT c_custkey::BIGINT AS vertex,
+  (CASE WHEN c_custkey % 3 = 1 THEN c_custkey ELSE c_custkey - 1 END)::BIGINT
+    AS component
+FROM customer WHERE c_custkey % 3 <> 0""",
         # R6 periodic ring: linear runs, then the wrap edge (N-1 ↔ 0) merges
         # the last run into component 0 when the endpoint values match
         "cc_periodic_grid": """WITH g AS (
@@ -1008,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_tree": q_adjacency_tree,
         "cc_delta_grid": q_cc_delta_grid,
         "cc_periodic_grid": q_cc_periodic_grid,
+        "cc_binary_grid": q_cc_binary_grid,
         "grid_stats_delta": q_grid_stats_delta,
         "adjacency_capped": q_adjacency_capped,
         "pricing_summary": q_pricing_summary,

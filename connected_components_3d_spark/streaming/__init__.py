@@ -10,6 +10,7 @@ kernels (CC/PageRank/...) run over per snapshot.
 
 from .ingest import (
     edge_rate_by_window,
+    host_crawl_stats,
     stream_edges,
     stream_pages,
     write_edges_stream,
@@ -17,6 +18,7 @@ from .ingest import (
 
 __all__ = [
     "edge_rate_by_window",
+    "host_crawl_stats",
     "stream_edges",
     "stream_pages",
     "write_edges_stream",

@@ -109,3 +109,108 @@ def edge_rate_by_window(
         .agg(F.count("*").alias("n_edges"))
         .select(F.col("w.start").alias("window_start"), "n_edges")
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host crawl tracking (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+HOST_STATE_SCHEMA = StructType(
+    [
+        StructField("pages", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+HOST_OUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("pages", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("closed", StringType()),  # "open" | "timeout"
+    ]
+)
+
+
+def host_crawl_stats(
+    pages: DataFrame, idle_timeout_ms: int = 30_000
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-host
+    running crawl statistics (page count, first/last crawl timestamp) with
+    explicit user-managed state — the shape Structured Streaming cannot
+    express with built-in aggs when the per-group update logic is custom
+    (here: min/max fold + idle-timeout finalization emitting a "timeout"
+    tombstone row and dropping the state).
+
+    State is one 24-byte row per live host, expired after
+    ``idle_timeout_ms`` of processing-time inactivity — bounded by active
+    hosts, not corpus size. Arrow moves each group's batch in/out; the fold
+    itself is numpy on the batch, no per-row Python at the Spark boundary.
+
+    Deployment note: ProcessingTimeTimeout timers keep the trigger loop
+    alive, so an ``availableNow`` drain will NOT self-terminate while state
+    exists — run this operator under a ``processingTime`` trigger with an
+    explicit stop (the test shows the pattern), or use EventTimeTimeout if
+    watermark-driven finalization fits the source.
+    """
+    import pandas as pd
+
+    hosts = pages.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("ts_us"),
+    )
+
+    def update(key, pdfs, state):
+        host = key[0]
+        if state.hasTimedOut:
+            pages_n, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "host": [host],
+                    "pages": [pages_n],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                    "closed": ["timeout"],
+                }
+            )
+            return
+        n = 0
+        lo = None
+        hi = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            blo = int(pdf["ts_us"].min())
+            bhi = int(pdf["ts_us"].max())
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+        if state.exists:
+            p0, f0, l0 = state.get
+            n += p0
+            lo = f0 if lo is None else min(lo, f0)
+            hi = l0 if hi is None else max(hi, l0)
+        state.update((n, lo, hi))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "pages": [n],
+                "first_us": [lo],
+                "last_us": [hi],
+                "closed": ["open"],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return hosts.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_OUT_SCHEMA,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -124,3 +124,71 @@ def test_edge_rate_window_closes(spark, tmp_path):
         got.n_edges != truth.n_edges
     )
     assert joined.count() == 0
+
+
+def test_host_crawl_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-host running stats carry
+    STATE across micro-batches — within one continuous query, a second file
+    drop produces cumulative per-host emissions (count, min/max timestamps)
+    matching the batch groupBy over the union of both drops."""
+    import time as _t
+
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    pages = synthetic_pages(spark, 120, n_hosts=4)
+
+    from connected_components_3d_spark.streaming import host_crawl_stats
+
+    _drop_batch(pages, 0, 80, input_dir, "b1")
+    q = (
+        host_crawl_stats(stream_pages(spark, input_dir), idle_timeout_ms=600_000)
+        .writeStream.format("memory")
+        .queryName("host_stats")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def snapshot():
+        cur = {}
+        for r in spark.sql("SELECT * FROM host_stats").collect():
+            if r.closed == "open":
+                old = cur.get(r.host)
+                if old is None or r.pages > old[0]:
+                    cur[r.host] = (r.pages, r.first_us, r.last_us)
+        return cur
+
+    def wait_for(pred, seconds=120):
+        deadline = _t.time() + seconds
+        while _t.time() < deadline:
+            cur = snapshot()
+            if pred(cur):
+                return cur
+            _t.sleep(2)
+        raise AssertionError(f"condition not reached; last snapshot: {snapshot()}")
+
+    try:
+        got1 = wait_for(lambda c: len(c) == 4 and all(v[0] == 20 for v in c.values()))
+        _drop_batch(pages, 80, 120, input_dir, "b2")
+        got2 = wait_for(lambda c: len(c) == 4 and all(v[0] == 30 for v in c.values()))
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    want = {
+        r.host: (r.pages, r.first_us, r.last_us)
+        for r in pages.groupBy(
+            F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host")
+        )
+        .agg(
+            F.count("*").alias("pages"),
+            F.min(F.unix_micros(F.col("warc_ts").cast("timestamp"))).alias("first_us"),
+            F.max(F.unix_micros(F.col("warc_ts").cast("timestamp"))).alias("last_us"),
+        )
+        .collect()
+    }
+    assert got2 == want
+    # first drop alone must NOT equal the final totals (state actually advanced)
+    assert got1 != want
