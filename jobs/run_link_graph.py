@@ -32,7 +32,14 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--pr-iters", type=int, default=5)
     ap.add_argument("--cc-method", default="blockuf", choices=["blockuf", "hashmin"])
+    ap.add_argument("--num-blocks", type=int, default=None,
+                    help="blockuf contraction blocks (resume pins from manifest)")
+    ap.add_argument("--checkpoint-format", default="parquet",
+                    help="checkpoint sink DataSource (e.g. iceberg with jars)")
+    ap.add_argument("--salting", default="auto", choices=["auto", "on", "off"],
+                    help="hot-key salted aggregation in CC/PageRank")
     args = ap.parse_args()
+    salting = {"auto": "auto", "on": True, "off": False}[args.salting]
 
     # engine imports AFTER SparkSession exists: on a cluster the zip is
     # distributed to executors by --py-files and to the driver's sys.path
@@ -61,11 +68,14 @@ def main() -> None:
         edges,
         method=args.cc_method,
         checkpoint_dir=os.path.join(args.checkpoint, "cc"),
+        checkpoint_format=args.checkpoint_format,
+        num_blocks=args.num_blocks,
+        salting=salting,
     )
     comps = cc.components
     comps.write.mode("overwrite").parquet(os.path.join(args.out, "components"))
 
-    pr = pagerank(spark, edges, fixed_iters=args.pr_iters)
+    pr = pagerank(spark, edges, fixed_iters=args.pr_iters, salting=salting)
     pr.ranks.write.mode("overwrite").parquet(os.path.join(args.out, "pagerank"))
 
     deg = degrees(edges)
