@@ -576,6 +576,16 @@ def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_kmeans_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF with a 2-step Lloyd-refined quantizer — exercises the
+    k-means refine end-to-end against the brute-force oracle (full probe is
+    exact for any quantizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, k=5, n_cells=16, n_probe=16, refine_iters=2
+    ).select("id_a", "id_b", "cos", F.col("rn").cast("int").alias("rn"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (deterministic fake decoder). The gate projection
     re-quantizes each float32 feature back to its exact integer code
@@ -1009,6 +1019,10 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45 AND id_a < id_b""",
 SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
   ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)::INT AS rn
  FROM pairs) WHERE rn <= 5""",
+        "ann_ivf_kmeans_full_probe": f"""WITH {_cosine_pairs_cte(64)}
+SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
+  ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)::INT AS rn
+ FROM pairs) WHERE rn <= 5""",
         "multimodal_features": _multimodal_sql(200, 8),
         # ann_lsh_topk, ann_ivf_topk: intentionally no oracle (approximate
         # operators) → driver rows-only check; recall floors + full-probe
@@ -1056,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_full_probe": q_ann_ivf_full_probe,
+        "ann_ivf_kmeans_full_probe": q_ann_ivf_kmeans_full_probe,
         "multimodal_features": q_multimodal_features,
     }
 

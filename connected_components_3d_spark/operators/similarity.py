@@ -168,6 +168,57 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_kmeans(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer: hash-mod seeds (ivf_centroids) then
+    ``iters`` distributed k-means steps. Relational shape, no UDFs:
+    assignment = broadcast(centroids) ⋈ vectors with a codegen'd dot fold +
+    max_by argmax (ties → smallest cid); update = posexplode to
+    (cell, dim, val) rows → partial-aggregated avg per (cell, dim) → arrays
+    rebuilt by sorting (dim, mean) structs. The shuffle per step carries only
+    cells×dim partial sums — the 64× explode never crosses the wire.
+
+    Means are rounded to 6 decimals so double-sum reassociation cannot leak
+    into the result: centroids are partition-invariant in practice
+    (property-tested). Cells that lose every member drop out (fewer, denser
+    cells); probing all remaining cells still degenerates to exact brute
+    force, which keeps the full-probe ≡ brute invariant for any ``iters``.
+    """
+    cents = ivf_centroids(emb, n_cells, vec_col, id_col).localCheckpoint()
+    base = with_norm(emb, vec_col, id_col)
+    for _ in range(iters):
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "id", _dot(F.col("vec"), F.col("cvec")).alias("proj"), "cid"
+        )
+        best = scored.groupBy("id").agg(
+            F.max_by(
+                "cid", F.struct(F.col("proj"), (-F.col("cid")).alias("nc"))
+            ).alias("cell")
+        )
+        assigned = best.join(base, "id")
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy(F.col("cell").alias("cid"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -198,6 +249,7 @@ def cosine_topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -208,8 +260,15 @@ def cosine_topk_ivf(
     against cosine_topk_brute). At scale the candidate join shuffles on
     ``cell`` — the partitioning key of the inverted file — so each cell's
     postings co-locate; recall/work trades via (n_cells, n_probe).
+    ``refine_iters > 0`` runs that many distributed Lloyd steps on the
+    quantizer (ivf_centroids_kmeans) — denser cells, better recall per probe.
     """
-    cents = ivf_centroids(emb, n_cells, vec_col, id_col).localCheckpoint()
+    if refine_iters > 0:
+        cents = ivf_centroids_kmeans(
+            emb, n_cells, refine_iters, vec_col, id_col
+        ).localCheckpoint()
+    else:
+        cents = ivf_centroids(emb, n_cells, vec_col, id_col).localCheckpoint()
     assigned = ivf_assign(emb, cents, vec_col, id_col).localCheckpoint(eager=False)
 
     # per query: its n_probe best cells (by centroid projection)

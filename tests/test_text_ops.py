@@ -253,3 +253,47 @@ def test_near_dup_groups_transitive(spark):
     }
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == 3
+
+
+def test_ivf_kmeans_full_probe_equals_brute(spark):
+    """Full probe is exact for ANY quantizer — including the Lloyd-refined
+    one (cells may shrink below n_cells; probing all of them still covers
+    every posting)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(120)
+    brute = {
+        (r.id_a, r.rn): r.id_b for r in S.cosine_topk_brute(emb, k=3).collect()
+    }
+    ivf = {
+        (r.id_a, r.rn): r.id_b
+        for r in S.cosine_topk_ivf(
+            emb, k=3, n_cells=8, n_probe=8, refine_iters=2
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_kmeans_centroids_partition_invariant(spark):
+    """Rounded means absorb double-sum reassociation: the refined quantizer
+    must produce identical centroids under any input partitioning."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    def snap(df):
+        return sorted(
+            (r.cid, tuple(r.cvec))
+            for r in S.ivf_centroids_kmeans(df, n_cells=8, iters=2).collect()
+        )
+    base = snap(emb)
+    assert snap(emb.repartition(13)) == base
+    assert snap(emb.repartition(3)) == base
+
+
+def test_ivf_kmeans_partial_probe_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    exact = {(r.id_a, r.id_b) for r in S.cosine_topk_brute(emb, k=5).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_topk_ivf(
+            emb, k=5, n_cells=8, n_probe=4, refine_iters=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.45, recall
