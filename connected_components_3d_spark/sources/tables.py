@@ -41,3 +41,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     environment, so ``spark.sql(oracle-ish SQL)`` works for debugging)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def save_bucketed(
+    df, table: str, num_buckets: int = 32, key: str = "src"
+) -> None:
+    """Bucketed + sorted table write — the PERSISTED co-location layout for
+    tables joined/aggregated repeatedly on ``key`` (SURVEY.md O14). Readers
+    joining or grouping on the bucket key consume the pre-distributed,
+    pre-sorted buckets and skip the exchange (and often the sort) entirely —
+    the on-disk analogue of the kernels' in-memory
+    repartition+sortWithinPartitions+persist layout, and the layout a 100 TB
+    edge table would live in between runs (bucket count sized to cluster
+    cores there). Plan-audited in tests/test_plans.py."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

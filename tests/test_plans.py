@@ -81,3 +81,31 @@ def test_explain_capture_roundtrip(spark, mode):
     df = load_table(spark, SF, "region")
     text = explain_str(df, mode)
     assert "Scan parquet" in text or "FileScan" in text
+
+
+def test_bucketed_edge_table_skips_exchange(spark):
+    """O14 persisted co-location: a bucketed+sorted edge table feeds both a
+    bucket-key aggregation and a self-join with ZERO shuffle exchanges —
+    the layout does the distribution once, at write time."""
+    import pyspark.sql.functions as F
+
+    from connected_components_3d_spark.plans.audit import exchange_count
+    from connected_components_3d_spark.sources.tables import save_bucketed
+
+    edges = spark.range(0, 10_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(500)).alias("dst"),
+    )
+    save_bucketed(edges, "e_bucketed_test", num_buckets=4, key="src")
+    try:
+        t = spark.table("e_bucketed_test")
+        agg = t.groupBy("src").agg(F.count("*").alias("deg"))
+        assert exchange_count(agg) == 0, "bucketed groupBy must not exchange"
+        joined = t.alias("a").join(
+            spark.table("e_bucketed_test").alias("b"), "src"
+        )
+        assert exchange_count(joined) == 0, "bucketed self-join must not exchange"
+        # and the result is still correct
+        assert agg.agg(F.sum("deg")).collect()[0][0] == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS e_bucketed_test")
