@@ -75,6 +75,26 @@ def main() -> None:
         _ = pr.ranks.count()
         queries["pagerank_pages"] = t
 
+        # -- grid path (the reference's own metric: voxels/sec) ------------
+        # 128x128x64 multilabel volume, 26-connectivity, full stencil-edge →
+        # two-level CC pipeline (range-partitioned slab contraction)
+        from connected_components_3d_spark.operators.grid import (
+            grid_components,
+            synthetic_grid,
+        )
+
+        gshape = (128, 128, 64)
+        gvol = synthetic_grid(spark, gshape).persist()
+        n_vox = gvol.count()
+        t, comps = timed(
+            lambda: grid_components(spark, gvol, gshape, connectivity=26,
+                                    method="blockuf")
+        )
+        queries["grid_cc_1m_voxels"] = t
+        north["grid_voxels"] = n_vox
+        north["grid_voxels_per_sec"] = round(n_vox / t, 1)
+        gvol.unpersist()
+
     # -- north-metric kernels on a larger synthetic edge table -------------
     # BASELINE.json:2 names "CC hash-min + PageRank iteration" edges/sec;
     # measured on a native-generated skewed graph (70% of edges target a 5%

@@ -97,21 +97,32 @@ def _block_uf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"vertex": ids, "root": roots})
 
 
-def block_contract(edges_sym: DataFrame, num_blocks: int) -> DataFrame:
+def block_contract(
+    edges_sym: DataFrame, num_blocks: int, block_key: str = "hash"
+) -> DataFrame:
     """Per-partition union-find contraction → star edges (vertex, root).
 
     Each block's edge set is replaced by a star to the block-local min vertex;
     the union of stars has the same connected components as the input
     (each block's edges are replaced by a spanning structure of themselves).
 
-    Implementation: hash-repartition by src (locality: a vertex's out-edges
-    land in one block → more intra-block merging → smaller star graph), then
-    ``mapInPandas`` drains each partition's Arrow batches into one numpy
-    union-find. Correctness does not depend on the partition assignment —
-    ANY split of the edges yields a valid contraction — so this is
-    partition-count invariant by construction (property-tested). mapInPandas
-    over a repartition avoids groupBy-applyInPandas' sort-based grouping
-    machinery on the E-row input.
+    ``block_key`` picks the partitioner — correctness does not depend on the
+    assignment (ANY split of the edges yields a valid contraction;
+    partition-count invariance is property-tested), but the ROOT GRAPH SIZE
+    AND DIAMETER do:
+
+      "hash"   xxhash64(src) mod blocks — uniform load, no locality
+               assumptions (web graphs with arbitrary ids);
+      "range"  contiguous src-id ranges — when ids encode locality
+               (Fortran-order grid voxels, crawl-ordered page ids) a block
+               becomes a spatial slab that solves internally, so only
+               slab-face vertices survive to the root graph and the global
+               fixpoint diameter drops from O(lattice width) to O(blocks)
+               (the distributed analogue of the reference's contiguous
+               memory-order pass-1).
+
+    ``mapInPandas`` then drains each partition's Arrow batches into one numpy
+    union-find — no groupBy-applyInPandas sort machinery on the E-row input.
     """
 
     def _drain(it):
@@ -122,8 +133,20 @@ def block_contract(edges_sym: DataFrame, num_blocks: int) -> DataFrame:
         if len(pdf):
             yield _block_uf(pdf)
 
+    if block_key == "range":
+        rng = edges_sym.agg(
+            F.min("src").alias("lo"), F.max("src").alias("hi")
+        ).collect()[0]
+        lo, hi = rng["lo"], rng["hi"]
+        span = max((hi or 0) - (lo or 0) + 1, 1)
+        width = -(-span // num_blocks)  # ceil
+        part = ((F.col("src") - F.lit(lo)) / F.lit(width)).cast("int")
+    elif block_key == "hash":
+        part = F.pmod(F.xxhash64("src"), F.lit(num_blocks))
+    else:
+        raise ValueError(f"unknown block_key {block_key!r}")
     return (
-        edges_sym.repartition(num_blocks, F.pmod(F.xxhash64("src"), F.lit(num_blocks)))
+        edges_sym.repartition(num_blocks, part)
         .mapInPandas(_drain, schema=_STAR_SCHEMA)
     )
 
@@ -148,6 +171,7 @@ def connected_components(
     checkpoint_every: int = 1,
     checkpoint_format: str = "parquet",
     num_blocks: int | None = None,
+    block_key: str = "hash",
     resume: bool = True,
     salting: bool | str = "auto",
     num_salts: int = 8,
@@ -211,6 +235,9 @@ def connected_components(
             else:
                 resume_root_fp = (m.get("params") or {}).get("root_fp")
                 recorded_blocks = (m.get("params") or {}).get("num_blocks")
+                recorded_bkey = (m.get("params") or {}).get("block_key")
+                if method == "blockuf" and recorded_bkey is not None:
+                    block_key = recorded_bkey
                 if method == "blockuf" and recorded_blocks is not None:
                     # block roots only reproduce under the SAME contraction
                     # partitioning — pin it from the manifest, never from
@@ -241,7 +268,9 @@ def connected_components(
         # direction-blind; symmetrizing doubles shuffle + Arrow traffic for
         # marginally better block locality). persist = columnar cache; the
         # consumers below scan the E-scale star rows twice.
-        stars = block_contract(edges.select("src", "dst"), num_blocks).persist()
+        stars = block_contract(
+            edges.select("src", "dst"), num_blocks, block_key
+        ).persist()
         # vertex → all of its block-roots; edges (min-root ↔ other-root)
         # capture exactly the merges the blocks couldn't see. A vertex's
         # roots are mutually connected through it, so the root graph has the
@@ -307,6 +336,7 @@ def connected_components(
     _ckpt_params = {"method": method}
     if method == "blockuf":
         _ckpt_params["num_blocks"] = num_blocks
+        _ckpt_params["block_key"] = block_key
         _ckpt_params["root_fp"] = root_fp
 
     if packed:
@@ -366,6 +396,7 @@ def connected_components(
     frontier = labels  # (vertex, label)
     n_labels = labels.count()
     prev_changed: int | None = None
+    jump_skip_allowed = True
     for step in range(start_step, max_iter):
         t0 = time.time()
         # (1) neighbor-min along edges OUT OF THE FRONTIER only (labels live
@@ -394,13 +425,18 @@ def connected_components(
         # supersteps (the labels map is total: every label value is a vertex
         # id in `labels`). The jump is a V⋈V self-join that re-shuffles BOTH
         # 10M-row sides every superstep — once the frontier has collapsed
-        # below 0.5% of V it is pure overhead (measured ~half the wall of a
-        # near-converged superstep at 40M edges), and neighbor-min alone is
-        # exact, so it is skipped. The fraction gate (not an absolute count)
-        # keeps O(log d) convergence on high-diameter graphs, where the
-        # frontier stays a large fraction of V until the very end.
-        do_jump = prev_changed is None or prev_changed >= max(
-            int(0.005 * n_labels), 32
+        # below 0.5% of V it is pure overhead on low-diameter web graphs
+        # (measured ~half the wall of a near-converged superstep at 40M
+        # edges), and neighbor-min alone is exact, so it is skipped. BUT a
+        # tiny frontier can also mean a chain regime (grid/lattice graphs:
+        # a small wave crawling a long path) where skipping turns O(log d)
+        # into O(d) — so a stall detector below permanently re-enables the
+        # jump the moment a skipped superstep fails to at least halve the
+        # frontier. Worst case: ONE extra cheap superstep.
+        do_jump = not (
+            jump_skip_allowed
+            and prev_changed is not None
+            and prev_changed < max(int(0.005 * n_labels), 32)
         )
         if do_jump:
             jump = labels.select(
@@ -429,6 +465,14 @@ def connected_components(
             "vertex", "label"
         )
         changed = frontier.count()
+        if (
+            not do_jump
+            and prev_changed is not None
+            and changed >= max(prev_changed // 2, 1)
+        ):
+            # the skipped-jump superstep did not at least halve the frontier
+            # → chain regime, doubling is load-bearing here
+            jump_skip_allowed = False
         prev_changed = changed
         labels = new_labels.select("vertex", "label")
         gc.collect()  # drop py4j refs to superseded checkpoint RDDs promptly

@@ -163,10 +163,55 @@ def grid_components(
         delta=delta,
         periodic_boundary=periodic_boundary,
     )
-    res = connected_components(spark, edges, method=method)
+    # The stencil join is consumed by several actions inside the CC kernel
+    # (pack-range agg, contraction, fingerprint, final compose) — persist it
+    # once (columnar cache feeds the Arrow contraction ~4x faster than a row
+    # cache) and release it after materializing the result.
+    edges = edges.persist()
+    # Fortran-order vertex ids encode spatial locality → range-partitioned
+    # contraction blocks are slabs that solve internally (cc.py block_key)
+    res = connected_components(
+        spark, edges, method=method, block_key="range"
+    )
     allfg = grid.where(F.col("value") != 0).select(
         grid_vertex_id(shape).alias("vertex")
     )
-    return allfg.join(res.components, "vertex", "left").select(
-        "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+    out = (
+        allfg.join(res.components, "vertex", "left")
+        .select(
+            "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+def synthetic_grid(
+    spark: SparkSession,
+    shape: tuple[int, int, int],
+    n_labels: int = 4,
+    density_pct: int = 90,
+    seed: int = 7,
+) -> DataFrame:
+    """Seed-fixed dense multilabel volume, generated with native expressions
+    only (no driver-side arrays — scales to any shape): voxel id decodes to
+    (x, y, z) in Fortran order; ``density_pct``% of voxels are foreground
+    with labels 1..n_labels from xxhash64. The volume bench path
+    (bench.py grid_cc) measures the reference's own metric — voxels/sec —
+    through the full stencil-edge → CC pipeline."""
+    X, Y, Z = shape
+    n = X * Y * Z
+    df = spark.range(n, numPartitions=max(spark.sparkContext.defaultParallelism, 8))
+    h1 = F.xxhash64("id", F.lit(seed))
+    h2 = F.xxhash64("id", F.lit(seed + 1))
+    value = F.when(
+        F.pmod(h1, F.lit(100)) < F.lit(density_pct),
+        (F.lit(1) + F.pmod(h2, F.lit(n_labels))).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.pmod("id", F.lit(X)).cast("int").alias("x"),
+        F.pmod((F.col("id") / X).cast("long"), F.lit(Y)).cast("int").alias("y"),
+        (F.col("id") / (X * Y)).cast("long").cast("int").alias("z"),
+        value.alias("value"),
     )

@@ -47,9 +47,30 @@ def _oriented(und: DataFrame) -> DataFrame:
     )
 
 
+def _pack_ids(edges: DataFrame) -> DataFrame:
+    """Int-pack (see cc.py): the wedge self-join is the engine's heaviest
+    shuffle at scale — when ids fit int32 the whole pipeline runs at half
+    key width (one shuffle-free min/max pass decides). Output vertex ids are
+    restored to long by the callers' final selects."""
+    rng = edges.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+    ).collect()[0]
+    if (
+        rng["lo"] is not None
+        and rng["lo"] >= -2147483648
+        and rng["hi"] <= 2147483647
+    ):
+        return edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+    return edges
+
+
 def triangle_list(edges: DataFrame) -> DataFrame:
     """All triangles (a, b, c) — one row each; a = orientation apex."""
-    und = canonical_undirected(edges)
+    und = canonical_undirected(_pack_ids(edges))
     o = _oriented(und)
     e1 = o.select(F.col("u").alias("a"), F.col("w").alias("b"), F.col("w_deg").alias("b_deg"))
     e2 = o.select(F.col("u").alias("a"), F.col("w").alias("c"), F.col("w_deg").alias("c_deg"))

@@ -121,3 +121,32 @@ def test_metrics_recorded(spark):
     assert m["converged"] is True
     assert m["labels_changed"] == 0
     assert m["edges_per_sec"] is None or m["edges_per_sec"] >= 0
+
+
+def test_chain_converges_in_logarithmic_supersteps(spark):
+    """Pointer jumping must stay load-bearing on high-diameter graphs: a
+    3000-vertex path converges in O(log d) supersteps. Guards the skip-jump
+    optimization's stall detector — a naive 'skip when frontier is small'
+    rule degrades this to O(d) (observed as ~2.5k-label crawls on lattice
+    root graphs)."""
+    pairs = [(i, i + 1) for i in range(3000)]
+    res = connected_components(spark, edges_df(spark, pairs), method="hashmin")
+    assert res.num_supersteps <= 40, res.num_supersteps
+    assert res.components.select("component").distinct().count() == 1
+
+
+def test_blockuf_range_blocks_match_hashmin(spark):
+    """block_key='range' (locality-preserving contraction) must yield the
+    same components as hash blocks and as plain hashmin — including with
+    negative vertex ids (the range partitioner offsets by the min id)."""
+    pairs = [(i, i + 1) for i in range(-50, 400)] + [
+        (1000 + i, 1000 + (i * 7) % 60) for i in range(60)
+    ]
+    e = edges_df(spark, pairs)
+    want = sorted(map(tuple, connected_components(
+        spark, e, method="hashmin").components.collect()))
+    for nb in (3, 8):
+        got = sorted(map(tuple, connected_components(
+            spark, e, method="blockuf", num_blocks=nb, block_key="range"
+        ).components.collect()))
+        assert got == want, nb
