@@ -168,6 +168,12 @@ def main() -> None:
             load_table(s, d, "embeddings"), k=5, num_planes=8, num_tables=2
         ),
     )
+    run(
+        "ann_ivf_topk",
+        lambda s, d: similarity.cosine_topk_ivf(
+            load_table(s, d, "embeddings"), k=5, n_cells=32, n_probe=4
+        ),
+    )
 
     total = round(sum(queries.values()), 3)
     out = {
