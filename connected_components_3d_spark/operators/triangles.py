@@ -11,6 +11,13 @@ avoid redundant neighbor inspections — transposed to joins, SURVEY.md §4.1).
 
 All equi-joins (sort-merge / shuffled-hash picked by Catalyst + AQE); no
 disjunctive join conditions; no UDFs.
+
+Measured negative result (round 2): int32-packing the ids — a clear win in
+the iterative kernels (cc.py) — made this pipeline 2.5-3x SLOWER at sf0.1
+(9.4s → 24-31s; A/B isolated the cast itself, not materialization), so the
+ids stay at input width here. Lazy-plan reuse is also already optimal:
+Spark's ReuseExchange dedupes the multiple consumers of the canonical edge
+set, and an explicit localCheckpoint measured slightly worse (11.3s).
 """
 
 from __future__ import annotations
@@ -47,30 +54,9 @@ def _oriented(und: DataFrame) -> DataFrame:
     )
 
 
-def _pack_ids(edges: DataFrame) -> DataFrame:
-    """Int-pack (see cc.py): the wedge self-join is the engine's heaviest
-    shuffle at scale — when ids fit int32 the whole pipeline runs at half
-    key width (one shuffle-free min/max pass decides). Output vertex ids are
-    restored to long by the callers' final selects."""
-    rng = edges.agg(
-        F.min(F.least("src", "dst")).alias("lo"),
-        F.max(F.greatest("src", "dst")).alias("hi"),
-    ).collect()[0]
-    if (
-        rng["lo"] is not None
-        and rng["lo"] >= -2147483648
-        and rng["hi"] <= 2147483647
-    ):
-        return edges.select(
-            F.col("src").cast("int").alias("src"),
-            F.col("dst").cast("int").alias("dst"),
-        )
-    return edges
-
-
 def triangle_list(edges: DataFrame) -> DataFrame:
     """All triangles (a, b, c) — one row each; a = orientation apex."""
-    und = canonical_undirected(_pack_ids(edges))
+    und = canonical_undirected(edges)
     o = _oriented(und)
     e1 = o.select(F.col("u").alias("a"), F.col("w").alias("b"), F.col("w_deg").alias("b_deg"))
     e2 = o.select(F.col("u").alias("a"), F.col("w").alias("c"), F.col("w_deg").alias("c_deg"))
