@@ -245,8 +245,13 @@ def connected_components(
                     num_blocks = recorded_blocks
                 labels = ckpt.read_checkpoint(spark, checkpoint_dir, latest)
                 if m["metrics"].get("converged"):
+                    # packed runs snapshot int labels — restore the public
+                    # long schema on the early-return path too
                     return CCResult(
-                        labels.select("vertex", F.col("label").alias("component")),
+                        labels.select(
+                            F.col("vertex").cast("long").alias("vertex"),
+                            F.col("label").cast("long").alias("component"),
+                        ),
                         latest,
                         [m["metrics"]],
                     )
