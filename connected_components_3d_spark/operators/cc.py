@@ -61,17 +61,13 @@ class CCResult:
 # --------------------------------------------------------------------------
 
 
-def _local_cc_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vertex → min-id-of-local-component for one edge block.
-
-    Vectorized hook + full pointer-jump; O(log n) passes, no Python loop over
-    edges. Mirrors the reference's union-find (path compression + union by
-    min — we use min-id instead of size to make labels canonical).
-    """
-    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    u = inv[: len(src)]
-    v = inv[len(src) :]
-    parent = np.arange(len(ids), dtype=np.int64)
+def _uf_fixpoint(parent: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized hook + full pointer-jump to fixpoint over an index-space
+    parent array; ``u``/``v`` are edge endpoints as indices into ``parent``.
+    O(log n) passes, no Python loop over edges. Mirrors the reference's
+    union-find (path compression + union by min — min-id instead of size to
+    make labels canonical). Shared by the edge-block contraction below and
+    the dense slab grid kernel (operators/grid.py)."""
     while True:
         pu = parent[u]
         pv = parent[v]
@@ -87,6 +83,15 @@ def _local_cc_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.nd
             parent = nxt
         if not changed:
             break
+    return parent
+
+
+def _local_cc_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vertex → min-id-of-local-component for one edge block."""
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u = inv[: len(src)]
+    v = inv[len(src) :]
+    parent = _uf_fixpoint(np.arange(len(ids), dtype=np.int64), u, v)
     return ids, ids[parent]
 
 
@@ -547,6 +552,68 @@ def connected_components(
         "vertex", F.coalesce("label", F.col("vertex")).alias("component")
     )
     return CCResult(components, step + 1, metrics)
+
+
+def components_from_stars(
+    spark: SparkSession,
+    stars: DataFrame,
+    *,
+    max_iter: int = 200,
+    single_block_edges: int = 20_000_000,
+) -> DataFrame:
+    """Global pass-2 over a pre-contracted star set ``(vertex, root)``.
+
+    Input contract: each row asserts vertex ∼ root, every vertex of the graph
+    appears at least once, and the union of stars has the same connected
+    components as the original graph (any per-block contraction satisfies
+    this — operators/grid.py's dense slab kernel produces exactly this
+    shape). The global work runs ONLY on the cross-block root graph — the
+    identifications no single block could see — then every vertex adopts its
+    min-root's converged label. Returns ``(vertex, component)`` materialized
+    (localCheckpoint), with component = min vertex id of the class (roots
+    are min-gids of their local components, so the global min of a component
+    is always a root and min-label canonicality is preserved).
+
+    The root graph is bounded by BOUNDARY vertices (those seen by >1 block),
+    typically orders of magnitude below V. Below ``single_block_edges`` it is
+    solved in ONE numpy union-find task (block_contract with one block) —
+    no per-superstep job overhead; above, the O(log d) hash-min fixpoint
+    takes over. The star pipeline is persisted so the expensive pass-1
+    kernel executes exactly once across all downstream actions."""
+    vroots = (
+        stars.groupBy("vertex")
+        .agg(F.min("root").alias("r0"), F.collect_set("root").alias("roots"))
+        .persist()
+    )
+    root_edges = (
+        vroots.select(F.col("r0").alias("src"), F.explode("roots").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_root_edges = root_edges.count()  # scans the cached vroots only
+    vmin = vroots.select("vertex", "r0")
+    if n_root_edges == 0:
+        out = _truncate(vmin.select("vertex", F.col("r0").alias("component")))
+        vroots.unpersist()
+        return out
+    if n_root_edges <= single_block_edges:
+        labels = block_contract(root_edges, 1, "hash").select(
+            F.col("vertex").alias("r0"), F.col("root").alias("component")
+        )
+    else:
+        labels = (
+            connected_components(
+                spark, root_edges, method="hashmin", max_iter=max_iter
+            )
+            .components.withColumnRenamed("vertex", "r0")
+        )
+    out = _truncate(
+        vmin.join(labels, "r0", "left").select(
+            "vertex", F.coalesce("component", F.col("r0")).alias("component")
+        )
+    )
+    vroots.unpersist()
+    return out
 
 
 def num_components(components: DataFrame) -> int:

@@ -27,7 +27,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(REPO, "BENCH_SNAPSHOT.json")
 
+# lower-is-better steady-state medians (north block)
 GATED = ["cc_median_superstep_s", "pr_median_iter_s"]
+# higher-is-better rates (north block) — e.g. the dense grid kernel's
+# voxels/sec (VERDICT r2 #7): fails when the rate drops below pinned/tol
+GATED_RATES = ["grid_voxels_per_sec"]
+# lower-is-better one-shot query walls (queries block)
+GATED_TOTALS = ["cc_synth_blockuf", "grid_cc_4m_voxels"]
 
 
 def load_bench(path: str | None) -> dict:
@@ -65,11 +71,13 @@ def main() -> int:
         snap = {
             "config": cfg,
             "medians": {k: bench["north"][k] for k in GATED},
+            "rates": {k: bench["north"][k] for k in GATED_RATES},
+            "totals": {k: bench["queries"][k] for k in GATED_TOTALS},
             "max_regression": 1.4,
         }
         with open(SNAPSHOT, "w") as f:
             json.dump(snap, f, indent=1, sort_keys=True)
-        print(f"pinned {SNAPSHOT}: {snap['medians']}")
+        print(f"pinned {SNAPSHOT}: {snap['medians']} {snap['rates']} {snap['totals']}")
         return 0
 
     if not os.path.exists(SNAPSHOT):
@@ -82,12 +90,26 @@ def main() -> int:
         return 0
     tol = snap.get("max_regression", 1.4)
     failed = 0
-    for k in GATED:
-        want, got = snap["medians"][k], bench["north"][k]
-        verdict = "ok" if got <= want * tol else "REGRESSED"
-        if verdict != "ok":
-            failed += 1
-        print(f"{verdict:>9}  {k}: {got:.3f}s vs pinned {want:.3f}s (tol {tol}x)")
+
+    def check(kind, keys, pinned, source, higher_better=False):
+        nonlocal failed
+        for k in keys:
+            if k not in pinned:
+                continue  # snapshot predates this gate row
+            want, got = pinned[k], source[k]
+            ok = got >= want / tol if higher_better else got <= want * tol
+            if not ok:
+                failed += 1
+            unit = "/s" if higher_better else "s"
+            print(
+                f"{'ok' if ok else 'REGRESSED':>9}  {k}: "
+                f"{got:.3f}{unit} vs pinned {want:.3f}{unit} (tol {tol}x)"
+            )
+
+    check("median", GATED, snap.get("medians", {}), bench["north"])
+    check("rate", GATED_RATES, snap.get("rates", {}), bench["north"],
+          higher_better=True)
+    check("total", GATED_TOTALS, snap.get("totals", {}), bench["queries"])
     return 1 if failed else 0
 
 

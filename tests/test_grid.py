@@ -133,6 +133,59 @@ def test_g7_delta_continuous(spark):
     assert got == nx_grid_classes(a, 6, delta=0.1)
 
 
+def test_g8_dense_equals_relational(spark):
+    """The dense slab kernel and the relational stencil join are independent
+    in-engine implementations — equivalence classes must match exactly on a
+    fixture that exercises multilabel + background + all 3 axes."""
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 3, size=(9, 7, 5)).astype(np.int64)
+    a[rng.rand(9, 7, 5) < 0.4] = 0
+    df = grid_from_array(spark, a)
+    for conn in (6, 26):
+        dense = classes_of(
+            grid_components(spark, df, a.shape, conn, impl="dense").collect()
+        )
+        rel = classes_of(
+            grid_components(spark, df, a.shape, conn, impl="relational").collect()
+        )
+        assert dense == rel, f"conn={conn}"
+
+
+def test_g9_slab_count_invariance(spark):
+    """Labels are a pure function of the grid, not of the slab partitioning:
+    any slab count (1 = single dense block, many = thin slabs + halo chains)
+    must produce identical equivalence classes — the halo construction is
+    exactly what this pins."""
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 4, size=(11, 6, 6)).astype(np.int64)
+    a[rng.rand(11, 6, 6) < 0.5] = 0
+    df = grid_from_array(spark, a)
+    expected = nx_grid_classes(a, 18)
+    for ns in (1, 2, 5, 11):
+        got = classes_of(
+            grid_components(spark, df, a.shape, 18, num_slabs=ns).collect()
+        )
+        assert got == expected, f"num_slabs={ns}"
+
+
+def test_g10_periodic_dense_all_modes(spark):
+    """Periodic wrap through the dense kernel: slab-axis wrap via the
+    duplicated halo plane, in-slab axes via roll — vs the networkx oracle,
+    across slab counts (incl. the single-slab self-halo case)."""
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 3, size=(8, 4, 4)).astype(np.int64)
+    a[rng.rand(8, 4, 4) < 0.4] = 0
+    df = grid_from_array(spark, a)
+    expected = nx_grid_classes(a, 6, periodic=True)
+    for ns in (1, 4):
+        got = classes_of(
+            grid_components(
+                spark, df, a.shape, 6, periodic_boundary=True, num_slabs=ns
+            ).collect()
+        )
+        assert got == expected, f"num_slabs={ns}"
+
+
 def test_return_n_consistency(spark):
     """R3: N == number of equivalence classes."""
     rng = np.random.RandomState(1)
