@@ -7,10 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``connected_components_3d_spark.driver_queries``
 (paired Spark plans + DuckDB oracle SQL, with the float-parity rules
-documented there). Queries without an oracle entry (``ann_lsh_topk``,
-``multimodal_features``) are approximate / binary-payload operators and get
-the driver's rows-only check; their exactness is covered by pytest oracles
-(tests/).
+documented there). The only queries without an oracle entry are the two
+approximate-by-construction ANN rows (``ann_lsh_topk``, ``ann_ivf_topk``);
+their exactness is gated by the hash-exact degenerate rows
+(``ann_lsh_full_cover``, ``ann_ivf_full_probe``) whose pipelines they share,
+plus recall-floor pytests.
 """
 
 from __future__ import annotations

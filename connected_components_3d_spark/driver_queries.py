@@ -565,6 +565,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_full_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH with 0 hyperplanes degenerates to ONE bucket covering every
+    vector — candidates = all pairs → the output is EXACT brute-force top-k
+    through the whole bucket-join + re-rank pipeline. The hash-exact gate
+    for the LSH path (VERDICT r2 #2), mirroring ann_ivf_full_probe;
+    ``ann_lsh_topk`` stays the approximate production query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, k=5, num_planes=0, num_tables=1
+    ).select("id_a", "id_b", "cos", F.col("rn").cast("int").alias("rn"))
+
+
 def q_ann_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe == n_cells degenerates to EXACT brute force — this
     runs the whole IVF join pipeline (quantizer → assign → probe → candidate
@@ -1014,6 +1026,11 @@ SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
  FROM pairs) WHERE rn <= 5""",
         "embedding_near_dup": f"""WITH {_cosine_pairs_cte(64)}
 SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45 AND id_a < id_b""",
+        # one-bucket LSH ≡ exact brute force: same oracle as similarity_topk
+        "ann_lsh_full_cover": f"""WITH {_cosine_pairs_cte(64)}
+SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
+  ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)::INT AS rn
+ FROM pairs) WHERE rn <= 5""",
         # full-probe IVF ≡ exact brute force: same oracle as similarity_topk
         "ann_ivf_full_probe": f"""WITH {_cosine_pairs_cte(64)}
 SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
@@ -1069,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_full_cover": q_ann_lsh_full_cover,
         "ann_ivf_full_probe": q_ann_ivf_full_probe,
         "ann_ivf_kmeans_full_probe": q_ann_ivf_kmeans_full_probe,
         "multimodal_features": q_multimodal_features,

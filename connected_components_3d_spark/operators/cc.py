@@ -208,10 +208,20 @@ def connected_components(
     # shuffle-free map-side min/max pass; it is a pure function of the data,
     # so resumed runs re-derive the same decision. Output is cast back to
     # long after the loop — the public (vertex, component) schema is fixed.
+    # the same single pass also fingerprints the INPUT edge table (count +
+    # bounded hash-sum — order/partitioning-free): recorded in every manifest
+    # and REQUIRED to match on any resume, converged early-return included.
+    # Labels live on a min-lattice (they only ever decrease), so composing a
+    # snapshot with a drifted edge table can never undo merges from
+    # since-removed edges — silently wrong, for both kernels (ADVICE r2
+    # #1/#2). Computed pre-packing so the fingerprint is width-independent.
     rng = edges.agg(
         F.min(F.least("src", "dst")).alias("lo"),
         F.max(F.greatest("src", "dst")).alias("hi"),
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))).alias("s"),
     ).collect()[0]
+    edge_fp = f"{rng['n']}:{rng['s'] or 0}"
     packed = (
         rng["lo"] is not None
         and rng["lo"] >= -2147483648
@@ -232,10 +242,19 @@ def connected_components(
         latest = ckpt.latest_valid_step(checkpoint_dir)
         if latest is not None:
             m = ckpt.read_manifest(checkpoint_dir, latest)
+            recorded_efp = (m.get("params") or {}).get("edge_fp")
             if not ckpt.compatible_params(m, {"method": method}):
                 # snapshot from a different kernel (e.g. blockuf labels keyed
                 # by block roots resumed under hashmin): refuse silently-wrong
                 # composition; start fresh
+                latest = None
+            elif recorded_efp is not None and recorded_efp != edge_fp:
+                # the edge table drifted since the snapshot (covers the
+                # converged early-return AND mid-run hashmin resume): the
+                # stale steps can never become valid again — clear them so
+                # the fresh run's converged snapshot is what future resumes
+                # find (ADVICE r2 #1-#3)
+                ckpt.clear_steps(checkpoint_dir)
                 latest = None
             else:
                 resume_root_fp = (m.get("params") or {}).get("root_fp")
@@ -307,8 +326,8 @@ def connected_components(
         # (the pass-2 coalesce masks missed joins). Fingerprint = (edge
         # count, bounded hash sum) of the recomputed root graph, recorded in
         # every manifest and compared on mid-run resume; mismatch restarts
-        # from scratch. (The converged early-return above predates the
-        # contraction, so it is guarded by method/num_blocks only.)
+        # from scratch. (The converged early-return is guarded by the
+        # cheaper input-edge fingerprint above, which needs no contraction.)
         fp_row = root_edges.agg(
             F.count("*").alias("n"),
             F.sum(
@@ -319,6 +338,10 @@ def connected_components(
         if start_step > 0 and resume_root_fp is not None and resume_root_fp != root_fp:
             labels = None
             start_step = 0
+            if checkpoint_dir:
+                # stale higher-numbered steps would shadow the fresh run's
+                # converged snapshot in latest_valid_step (ADVICE r2 #3)
+                ckpt.clear_steps(checkpoint_dir)
         if labels is None:
             # loop state lives on ROOT vertices only; canonical min-vertex
             # labels are preserved because the global minimum of a component
@@ -343,7 +366,7 @@ def connected_components(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    _ckpt_params = {"method": method}
+    _ckpt_params = {"method": method, "edge_fp": edge_fp}
     if method == "blockuf":
         _ckpt_params["num_blocks"] = num_blocks
         _ckpt_params["block_key"] = block_key

@@ -242,8 +242,7 @@ def pagerank_single_node(
     for u, v in pairs:
         nodes.add(u)
         nodes.add(v)
-        if True:  # simple-graph semantics: duplicates collapse via the set
-            succ[u].add(v)
+        succ[u].add(v)  # simple-graph semantics: duplicates collapse via the set
     n = len(nodes)
     if n == 0:
         return {}

@@ -38,6 +38,32 @@ def _step_dir(ckpt_dir: str, step: int) -> str:
     return os.path.join(ckpt_dir, f"step={step}")
 
 
+def _lineage_files(data_dir: str) -> list[dict[str, Any]]:
+    """Recursive per-file lineage (relative path, bytes, md5) — walks nested
+    layouts (a format may write subdirectories), skipping Spark's
+    _SUCCESS/.crc bookkeeping at every level."""
+    files = []
+    for root, dirs, names in os.walk(data_dir):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        for name in names:
+            if name.startswith(("_", ".")):
+                continue
+            path = os.path.join(root, name)
+            h = hashlib.md5()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            files.append(
+                {
+                    "file": os.path.relpath(path, data_dir),
+                    "bytes": os.path.getsize(path),
+                    "md5": h.hexdigest(),
+                }
+            )
+    files.sort(key=lambda e: e["file"])
+    return files
+
+
 def write_checkpoint(
     df: DataFrame,
     ckpt_dir: str,
@@ -53,9 +79,13 @@ def write_checkpoint(
     under (e.g. CC's method + num_blocks): a resume against an incompatible
     configuration must be refused, not silently mis-composed.
 
-    ``table_format`` is the sink-format seam: any Spark DataSource name drops
-    in (``"iceberg"`` once its runtime jars are on the classpath — the
-    manifest layout above is already snapshot-shaped). Parquet in-sandbox.
+    ``table_format`` is the sink-format seam for PATH-BASED file formats
+    (parquet/orc/json — anything ``.format(fmt).save(path)`` writes as a
+    file layout, nested subdirectories included). A real Iceberg commit is a
+    catalog operation (``writeTo(table).append()``), not a path save — that
+    integration replaces this module's manifest with Iceberg's own
+    snapshot/manifest chain rather than flowing through this seam
+    (ADVICE r2 #4). Parquet in-sandbox.
     """
     sdir = _step_dir(ckpt_dir, step)
     tmp = sdir + ".tmp"
@@ -65,21 +95,7 @@ def write_checkpoint(
         shutil.rmtree(sdir)  # idempotent re-run of an uncommitted/stale step
     t0 = time.time()
     df.write.mode("overwrite").format(table_format).save(os.path.join(tmp, "data"))
-    files = []
-    data_dir = os.path.join(tmp, "data")
-    for name in sorted(os.listdir(data_dir)):
-        # lineage covers every data file the source format produced (not just
-        # *.parquet), skipping Spark's _SUCCESS/.crc bookkeeping
-        if name.startswith(("_", ".")):
-            continue
-        path = os.path.join(data_dir, name)
-        h = hashlib.md5()
-        with open(path, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        files.append(
-            {"file": name, "bytes": os.path.getsize(path), "md5": h.hexdigest()}
-        )
+    files = _lineage_files(os.path.join(tmp, "data"))
     manifest = {
         "step": step,
         "schema": df.schema.jsonValue(),
@@ -140,6 +156,24 @@ def latest_valid_step(ckpt_dir: str) -> int | None:
         if validate_step(ckpt_dir, s):
             return s
     return None
+
+
+def clear_steps(ckpt_dir: str) -> int:
+    """Remove every step dir (committed or not); returns how many.
+
+    Used when a resume guard detects the snapshots can never be valid for
+    the current input (edge-table drift, ADVICE r2 #1/#3): restarting at
+    step 0 while HIGHER-numbered stale step dirs survive would let
+    ``latest_valid_step`` keep picking the stale snapshot on every later
+    invocation, forcing a full recompute each time."""
+    if not os.path.isdir(ckpt_dir):
+        return 0
+    n = 0
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("step="):
+            shutil.rmtree(os.path.join(ckpt_dir, d))
+            n += 1
+    return n
 
 
 def read_checkpoint(spark: SparkSession, ckpt_dir: str, step: int) -> DataFrame:

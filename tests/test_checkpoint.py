@@ -237,10 +237,24 @@ def test_resume_refuses_drifted_input_via_root_fingerprint(spark, tmp_path):
         int(d.split("=")[1]) for d in os.listdir(cdir) if d.startswith("step=")
     )
     shutil.rmtree(os.path.join(cdir, f"step={max(steps)}"))
-    m = ckpt.read_manifest(cdir, ckpt.latest_valid_step(cdir))
+    latest = ckpt.latest_valid_step(cdir)
+    m = ckpt.read_manifest(cdir, latest)
     assert "root_fp" in m["params"]
     # different input against the same checkpoint dir
     pairs_b = [(i, i + 1) for i in range(500, 700)] + [(42, 43)]
+    # pin the manifest's edge_fp to the NEW input's fingerprint so the
+    # cheaper input-edge guard passes and the ROOT-GRAPH fingerprint layer
+    # is what must catch the drift (defense in depth stays exercised)
+    from pyspark.sql import functions as F
+
+    r = edges_df(spark, pairs_b).agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))).alias("s"),
+    ).collect()[0]
+    mpath = os.path.join(cdir, f"step={latest}", "_manifest.json")
+    m["params"]["edge_fp"] = f"{r['n']}:{r['s'] or 0}"
+    with open(mpath, "w") as f:
+        json.dump(m, f)
     res = connected_components(
         spark, edges_df(spark, pairs_b), method="blockuf", checkpoint_dir=cdir,
         num_blocks=4,
@@ -249,3 +263,84 @@ def test_resume_refuses_drifted_input_via_root_fingerprint(spark, tmp_path):
     assert sorted(map(tuple, res.components.collect())) == sorted(
         map(tuple, ref.components.collect())
     )
+
+
+def test_converged_snapshot_refuses_drifted_edges(spark, tmp_path):
+    """Reusing a checkpoint dir across runs (as jobs/run_link_graph.py does)
+    after the edge table CHANGED must recompute, not return the stale
+    converged components forever (ADVICE r2 #1) — for both kernels, via the
+    input-edge fingerprint recorded in every manifest."""
+    pairs_a = chain_plus_cliques()
+    pairs_b = [(i, i + 1) for i in range(100, 250)] + [(7, 9), (9, 11)]
+    for method in ("hashmin", "blockuf"):
+        cdir = str(tmp_path / f"ckpt_{method}")
+        connected_components(
+            spark, edges_df(spark, pairs_a), method=method, checkpoint_dir=cdir
+        )
+        assert ckpt.read_manifest(cdir, ckpt.latest_valid_step(cdir))[
+            "metrics"
+        ]["converged"]
+        res = connected_components(
+            spark, edges_df(spark, pairs_b), method=method, checkpoint_dir=cdir
+        )
+        ref = connected_components(spark, edges_df(spark, pairs_b), method=method)
+        assert sorted(map(tuple, res.components.collect())) == sorted(
+            map(tuple, ref.components.collect())
+        ), method
+        # the stale steps were cleared: the dir's latest snapshot now belongs
+        # to the NEW input, so the next invocation early-returns it
+        m = ckpt.read_manifest(cdir, ckpt.latest_valid_step(cdir))
+        assert m["metrics"]["converged"]
+        res2 = connected_components(
+            spark, edges_df(spark, pairs_b), method=method, checkpoint_dir=cdir
+        )
+        assert res2.num_supersteps == ckpt.latest_valid_step(cdir)
+        assert sorted(map(tuple, res2.components.collect())) == sorted(
+            map(tuple, ref.components.collect())
+        ), method
+
+
+def test_hashmin_midrun_resume_refuses_drifted_edges(spark, tmp_path):
+    """Mid-run hashmin resume against a drifted edge table silently composes
+    stale labels (min-labels only decrease — merges from removed edges can
+    never be undone); the edge fingerprint must force a fresh start
+    (ADVICE r2 #2)."""
+    cdir = str(tmp_path / "ckpt")
+    connected_components(
+        spark, edges_df(spark, chain_plus_cliques()), method="hashmin",
+        checkpoint_dir=cdir,
+    )
+    # drop the converged step so only mid-run snapshots remain
+    steps = sorted(
+        int(d.split("=")[1]) for d in os.listdir(cdir) if d.startswith("step=")
+    )
+    shutil.rmtree(os.path.join(cdir, f"step={max(steps)}"))
+    # drifted input: the old chain's merges must not leak in
+    pairs_b = [(i, i + 1) for i in range(500, 650)]
+    res = connected_components(
+        spark, edges_df(spark, pairs_b), method="hashmin", checkpoint_dir=cdir
+    )
+    ref = connected_components(spark, edges_df(spark, pairs_b), method="hashmin")
+    assert sorted(map(tuple, res.components.collect())) == sorted(
+        map(tuple, ref.components.collect())
+    )
+
+
+def test_lineage_files_walks_nested_layouts(tmp_path):
+    """Formats that write subdirectories (Iceberg-style data/ trees) must
+    hash every nested data file and skip bookkeeping at every level
+    (ADVICE r2 #4)."""
+    d = tmp_path / "data"
+    (d / "sub" / "deeper").mkdir(parents=True)
+    (d / "a.parquet").write_bytes(b"aaa")
+    (d / "sub" / "b.parquet").write_bytes(b"bbb")
+    (d / "sub" / "deeper" / "c.orc").write_bytes(b"ccc")
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "sub" / ".b.parquet.crc").write_bytes(b"x")
+    files = ckpt._lineage_files(str(d))
+    names = [e["file"] for e in files]
+    assert names == sorted(
+        ["a.parquet", os.path.join("sub", "b.parquet"),
+         os.path.join("sub", "deeper", "c.orc")]
+    )
+    assert all(e["md5"] and e["bytes"] == 3 for e in files)
