@@ -124,7 +124,12 @@ def block_contract(
                slab-face vertices survive to the root graph and the global
                fixpoint diameter drops from O(lattice width) to O(blocks)
                (the distributed analogue of the reference's contiguous
-               memory-order pass-1).
+               memory-order pass-1);
+      "input"  NO repartition — each existing input partition is a block
+               (VERDICT r2 #5): the zero-exchange path for edge tables
+               already persisted bucketed-by-src (sources/tables.py
+               save_bucketed), where the bucket layout gives the same
+               src-locality as "hash" without paying the shuffle again.
 
     ``mapInPandas`` then drains each partition's Arrow batches into one numpy
     union-find — no groupBy-applyInPandas sort machinery on the E-row input.
@@ -138,6 +143,8 @@ def block_contract(
         if len(pdf):
             yield _block_uf(pdf)
 
+    if block_key == "input":
+        return edges_sym.mapInPandas(_drain, schema=_STAR_SCHEMA)
     if block_key == "range":
         rng = edges_sym.agg(
             F.min("src").alias("lo"), F.max("src").alias("hi")

@@ -51,11 +51,25 @@ def pagerank(
     num_salts: int = 8,
     hot_key_threshold: int = 10_000_000,
     salting_min_edges: int = 10_000_000,
+    pre_partitioned: bool = False,
+    assume_distinct: bool = False,
 ) -> PageRankResult:
     """PageRank on the DIRECTED edge table (duplicate edges are dropped —
     simple-graph semantics, matching a networkx DiGraph built from the same
     pairs). ``fixed_iters`` disables the convergence test (used for the
     SQL-oracle parity path where duckdb runs the same k chained iterations).
+
+    ``pre_partitioned`` / ``assume_distinct`` (VERDICT r2 #5): for an edge
+    table already persisted bucketed-by-src and de-duplicated
+    (sources/tables.py save_bucketed), skip the one-time repartition+sort
+    and/or the distinct — the kernel then reads the bucket layout with ZERO
+    edge-side exchanges, ever (the bucket count should match
+    spark.sql.shuffle.partitions so the per-iteration SMJ lines up without
+    re-exchanging either side). Both flags are caller promises; wrong
+    promises cost correctness (duplicate contributions) or an extra runtime
+    exchange, so they default off. ``pre_partitioned`` disables int-packing
+    (the cast re-projects src, erasing the relation's known partitioning) —
+    store the bucketed table at int width to get both.
     """
     # shuffle-once layout: the edge table is hash-partitioned by src a single
     # time and persisted; every iteration's contribs join then lines up with
@@ -77,6 +91,11 @@ def pagerank(
         rng["lo"] is not None
         and rng["lo"] >= -2147483648
         and rng["hi"] <= 2147483647
+        # packing re-projects src, which erases the bucketed relation's
+        # KNOWN HashPartitioning and would re-introduce a per-iteration
+        # edge-side exchange — the pre-partitioned caller stores the table
+        # at its chosen width instead
+        and not pre_partitioned
     )
     if packed:
         edges = edges.select(
@@ -86,13 +105,12 @@ def pagerank(
     # sortWithinPartitions: the cached relation keeps its ordering metadata,
     # so the per-iteration sort-merge join re-sorts only the (small) ranks
     # side — never the E-row edge side (measured 5x per-iteration win)
-    e = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition(p, "src")
-        .sortWithinPartitions("src")
-        .persist()
-    )
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    if not pre_partitioned:
+        e = e.repartition(p, "src").sortWithinPartitions("src")
+    e = e.persist()
     verts = _truncate(vertices(e))
     n = verts.count()
     if n == 0:

@@ -110,16 +110,26 @@ def contacts(edges: DataFrame, labels: DataFrame, weight: str | None = None) -> 
     return e.groupBy("label_a", "label_b").agg(agg)
 
 
-def adjacency_summary(edges: DataFrame, max_neighbors: int | None = None) -> DataFrame:
+def adjacency_summary(
+    edges: DataFrame,
+    max_neighbors: int | None = None,
+    num_salts: int = 32,
+) -> DataFrame:
     """Per-vertex sorted neighbor list + degree (R13's per-voxel connectivity
     bitfield, generalized to sparse adjacency).
 
     ``max_neighbors`` is the hub guard for web scale: a 10^8-degree hub would
     otherwise materialize one multi-GB array row in one task. With a cap, the
     kept list is the ``max_neighbors`` SMALLEST neighbor ids (deterministic),
-    selected by a per-vertex window BEFORE any array is built — the heavy row
-    never exists; ``deg`` stays the TRUE degree either way. The exact R13
-    parity query runs uncapped on grid-scale inputs."""
+    computed as a DECOMPOSABLE salted bottom-k (VERDICT r2 #4): stage 1
+    groups by (src, salt=hash(dst) mod S) and keeps each salt's bottom-k
+    slice, stage 2 merges ≤ S·k survivors per vertex and slices again —
+    bottom-k is associative over any partition of the neighbor set, so no
+    task ever sorts more than deg/S + S·k rows for one vertex (the old
+    per-src window concentrated a hub's ENTIRE edge list into one sorted
+    window partition). ``deg`` stays the TRUE degree (summed per-salt
+    counts; symmetrize() dedupes). The exact R13 parity query runs uncapped
+    on grid-scale inputs."""
     from .edges import symmetrize
 
     sym = symmetrize(edges)
@@ -128,15 +138,25 @@ def adjacency_summary(edges: DataFrame, max_neighbors: int | None = None) -> Dat
             F.sort_array(F.collect_set("dst")).alias("neighbors"),
             F.count("*").alias("deg"),
         )
-    w = Window.partitionBy("src").orderBy(F.asc("dst"))
-    ranked = sym.withColumn("_rn", F.row_number().over(w))
-    return (
-        ranked.groupBy(F.col("src").alias("vertex"))
+    partial = (
+        sym.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(num_salts)))
+        .groupBy("src", "_salt")
         .agg(
-            F.sort_array(
-                F.collect_list(F.when(F.col("_rn") <= max_neighbors, F.col("dst")))
+            F.slice(
+                F.sort_array(F.collect_set("dst")), 1, max_neighbors
+            ).alias("_part"),
+            F.count("*").alias("_cnt"),
+        )
+    )
+    return (
+        partial.groupBy(F.col("src").alias("vertex"))
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_part"))),
+                1,
+                max_neighbors,
             ).alias("neighbors"),
-            F.count("*").alias("deg"),
+            F.sum("_cnt").alias("deg"),
         )
     )
 

@@ -40,11 +40,13 @@ PAGES_SCHEMA = StructType(
 )
 
 
-def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_pages(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of pages parquet dropped into ``input_dir``."""
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 

@@ -119,3 +119,21 @@ def test_adjacency_summary_max_neighbors_cap(spark):
     }
     for v in (900, 901, 902, 5, 250):
         assert capped[v] == exact[v]
+
+
+def test_adjacency_capped_plan_has_no_window(spark):
+    """The capped path must be a decomposable two-stage bottom-k (VERDICT r2
+    #4): no Window operator anywhere in the plan — a per-src window would
+    concentrate a hub's whole edge list into one sorted partition — and the
+    result on a Zipf-ish hub stays exact."""
+    from connected_components_3d_spark.plans import explain_str
+
+    hub = 0
+    pairs = [(hub, i) for i in range(1, 2001)] + [(i, i + 1) for i in range(5000, 5050)]
+    e = edges_df(spark, pairs)
+    capped = S.adjacency_summary(e, max_neighbors=5)
+    plan = explain_str(capped)
+    assert "Window" not in plan, plan
+    got = {r.vertex: (list(r.neighbors), r.deg) for r in capped.collect()}
+    assert got[hub] == ([1, 2, 3, 4, 5], 2000)
+    assert got[5025] == ([5024, 5026], 2)
