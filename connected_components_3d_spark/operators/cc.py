@@ -609,7 +609,24 @@ def components_from_stars(
     solved in ONE numpy union-find task (block_contract with one block) —
     no per-superstep job overhead; above, the O(log d) hash-min fixpoint
     takes over. The star pipeline is persisted so the expensive pass-1
-    kernel executes exactly once across all downstream actions."""
+    kernel executes exactly once across all downstream actions.
+
+    Fast path: if ``stars`` carries boolean ``owner``/``face`` columns —
+    producers that KNOW which vertices can appear with multiple roots tag
+    each row (grid.py's dense slab kernel: ``face`` = halo-plane vertex,
+    duplicated across slabs; ``owner`` = the single authoritative row per
+    vertex) — then the per-vertex aggregation runs ONLY on face rows (a few
+    % of V) and the converged labels join back by broadcast, so the O(V)
+    interior rows are never shuffled again after the kernel's own
+    repartition. Multi-executor grid scaling was bound on exactly that
+    redundant O(V) groupBy (BENCH.md §2)."""
+    if {"owner", "face"}.issubset(set(stars.columns)):
+        return _components_from_tagged_stars(
+            spark,
+            stars,
+            max_iter=max_iter,
+            single_block_edges=single_block_edges,
+        )
     vroots = (
         stars.groupBy("vertex")
         .agg(F.min("root").alias("r0"), F.collect_set("root").alias("roots"))
@@ -643,6 +660,61 @@ def components_from_stars(
         )
     )
     vroots.unpersist()
+    return out
+
+
+def _components_from_tagged_stars(
+    spark: SparkSession,
+    stars: DataFrame,
+    *,
+    max_iter: int,
+    single_block_edges: int,
+    broadcast_labels_max: int = 2_000_000,
+) -> DataFrame:
+    """Tagged-stars stitch (see components_from_stars docstring).
+
+    Correctness: a vertex can contribute a root edge only if it has ≥2
+    distinct roots, which requires appearing in ≥2 blocks — exactly the rows
+    the producer tagged ``face`` — so the face-only aggregation builds the
+    SAME root-edge set as the untagged full groupBy. All roots of one
+    vertex land in one union-find class, so joining the converged labels on
+    the owner row's root (not the per-vertex min root) yields the same
+    component; roots never seen by the fixpoint keep themselves (coalesce).
+    """
+    stars = stars.persist()
+    vroots = (
+        stars.where("face")
+        .groupBy("vertex")
+        .agg(F.min("root").alias("r0"), F.collect_set("root").alias("roots"))
+    )
+    root_edges = (
+        vroots.select(F.col("r0").alias("src"), F.explode("roots").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    n_root_edges = root_edges.count()  # also materializes the persisted stars
+    owner = stars.where("owner").select("vertex", "root")
+    if n_root_edges == 0:
+        out = _truncate(owner.select("vertex", F.col("root").alias("component")))
+        stars.unpersist()
+        return out
+    if n_root_edges <= single_block_edges:
+        labels = block_contract(root_edges, 1, "hash").select(
+            F.col("vertex").alias("root"), F.col("root").alias("component")
+        )
+    else:
+        labels = (
+            connected_components(spark, root_edges, method="hashmin", max_iter=max_iter)
+            .components.select(F.col("vertex").alias("root"), "component")
+        )
+    if n_root_edges <= broadcast_labels_max:
+        labels = F.broadcast(labels)
+    out = _truncate(
+        owner.join(labels, "root", "left").select(
+            "vertex", F.coalesce("component", F.col("root")).alias("component")
+        )
+    )
+    stars.unpersist()
     return out
 
 

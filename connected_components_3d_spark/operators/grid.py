@@ -191,6 +191,10 @@ def _dense_slab_stars(
             val[a0, a1, zl] = g["value"].to_numpy(np.int64)
             gid = np.full((A0, A1, D), -1, dtype=np.int64)
             gid[a0, a1, zl] = g["gid"].to_numpy(np.int64)
+            own = np.zeros((A0, A1, D), dtype=bool)
+            own[a0, a1, zl] = g["owner"].to_numpy(bool)
+            fac = np.zeros((A0, A1, D), dtype=bool)
+            fac[a0, a1, zl] = g["face"].to_numpy(bool)
             fv = None
             if has_fvalue:
                 fv = np.zeros((A0, A1, D), dtype=np.float64)
@@ -255,7 +259,14 @@ def _dense_slab_stars(
             # labels canonical through the global stage)
             rg = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(rg, p, gv)
-            yield pd.DataFrame({"vertex": gv, "root": rg[p]})
+            yield pd.DataFrame(
+                {
+                    "vertex": gv,
+                    "root": rg[p],
+                    "owner": own.ravel()[f],
+                    "face": fac.ravel()[f],
+                }
+            )
 
     return kernel
 
@@ -271,8 +282,11 @@ def dense_grid_stars(
     periodic_boundary: bool = False,
     num_slabs: int | None = None,
 ) -> DataFrame:
-    """Pass-1 contraction: foreground grid → (vertex, root) star set whose
-    union has exactly the grid's stencil components.
+    """Pass-1 contraction: foreground grid → (vertex, root, owner, face)
+    star set whose union has exactly the grid's stencil components; the
+    owner/face tags let cc.components_from_stars aggregate only halo-plane
+    vertices in pass 2 (interior rows — the O(V) bulk — are never shuffled
+    again, which is what multi-executor grid scaling was bound on).
 
     Slabs are cut along the LONGEST axis (the gate fixtures are 1-D along x;
     volumes slab along z) and each slab gets a one-plane halo from its
@@ -307,13 +321,29 @@ def dense_grid_stars(
         grid_vertex_id(shape).alias("gid"),
     )
     slab = (F.col("ax") / depth).cast("int")
+    # owner/face tags (consumed by cc.components_from_stars' fast path):
+    # owner = the ONE authoritative row per vertex (its main-piece row);
+    # face = the vertex is duplicated across slab partitions (halo plane, or
+    # the periodic wrap copy of plane 0) — only face vertices can carry >1
+    # root, so pass-2 aggregates face rows only (a few % of V).
+    is_face = (F.col("ax") % depth == 0) & (F.col("ax") > 0)
+    if periodic_boundary and L > 1:
+        is_face = is_face | (F.col("ax") == 0)
     main = base.select(
-        "*", slab.alias("slab"), (F.col("ax") - slab * depth).alias("zl")
+        "*",
+        slab.alias("slab"),
+        (F.col("ax") - slab * depth).alias("zl"),
+        F.lit(True).alias("owner"),
+        is_face.alias("face"),
     )
     pieces = [main]
     # halo: each slab's successor face plane, placed one past its last plane
     halo = base.where((F.col("ax") % depth == 0) & (F.col("ax") > 0)).select(
-        "*", (slab - 1).alias("slab"), F.lit(depth).alias("zl")
+        "*",
+        (slab - 1).alias("slab"),
+        F.lit(depth).alias("zl"),
+        F.lit(False).alias("owner"),
+        F.lit(True).alias("face"),
     )
     pieces.append(halo)
     if periodic_boundary and L > 1:
@@ -321,13 +351,23 @@ def dense_grid_stars(
             "*",
             F.lit(num_slabs - 1).alias("slab"),
             F.lit(last_depth).alias("zl"),
+            F.lit(False).alias("owner"),
+            F.lit(True).alias("face"),
         )
         pieces.append(wrap)
     rows = pieces[0]
     for p_ in pieces[1:]:
         rows = rows.unionByName(p_)
     rows = rows.select(
-        "a0", "a1", "zl", "slab", "value", *(["fvalue"] if has_f else []), "gid"
+        "a0",
+        "a1",
+        "zl",
+        "slab",
+        "value",
+        *(["fvalue"] if has_f else []),
+        "gid",
+        "owner",
+        "face",
     )
     kernel = _dense_slab_stars(
         (A0, A1, depth + 1),
@@ -337,7 +377,7 @@ def dense_grid_stars(
         periodic=periodic_boundary,
         has_fvalue=has_f and delta > 0,
     )
-    schema = "vertex long, root long"
+    schema = "vertex long, root long, owner boolean, face boolean"
     return rows.repartition(num_slabs, "slab").mapInPandas(kernel, schema=schema)
 
 

@@ -20,7 +20,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, pages: int, edges: int) -> dict:
+def run_bench(
+    cpus: int,
+    pages: int,
+    edges: int,
+    master: str | None = None,
+    kernels_only: bool = False,
+) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     # shuffle partitions scaled to cores (what a per-job conf would do on a
@@ -31,6 +37,10 @@ def run_bench(cpus: int, pages: int, edges: int) -> dict:
     # overhead (the regime the 10^12-scale metric describes)
     env["SPARK_GRAFT_BENCH_EDGES"] = str(edges)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    if master:
+        env["SPARK_GRAFT_MASTER"] = master
+    if kernels_only:
+        env["SPARK_GRAFT_BENCH_KERNELS_ONLY"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -43,6 +53,52 @@ def run_bench(cpus: int, pages: int, edges: int) -> dict:
     return json.loads(line)
 
 
+def cluster_mode(pages: int, edges: int, execs: int = 2) -> None:
+    """N → 4N EXECUTOR scaling on separate JVMs (VERDICT r2 #3).
+
+    local-cluster[W,4,8192] launches W worker JVMs with 4 cores / 8 GiB
+    each and REAL netty shuffle fetches between them — per-executor
+    resources stay FIXED while executor count goes W → 4W, which is the
+    exact shape of the north rule's criterion and removes the shared
+    single-JVM heap that confounds local[8] vs local[32] (BENCH.md §2).
+    ``execs`` picks the base W: 2 → the 8-vs-32-core pair (saturates this
+    single box's DRAM bus at 4N); 1 → the 4-vs-16-core pair, where 4N still
+    fits inside the box's memory bandwidth — the regime a real multi-node
+    cluster stays in at every size, since aggregate DRAM/network bandwidth
+    grows with node count. Kernels-only (the north metrics are what the
+    rule names)."""
+    rn = run_bench(4 * execs, pages, edges,
+                   master=f"local-cluster[{execs},4,8192]", kernels_only=True)
+    r4n = run_bench(16 * execs, pages, edges,
+                    master=f"local-cluster[{4 * execs},4,8192]",
+                    kernels_only=True)
+
+    def north_secs(r):
+        return r["north"]["cc_median_superstep_s"] + r["north"]["pr_median_iter_s"]
+
+    tn, t4n = north_secs(rn), north_secs(r4n)
+    eff = round((tn / t4n) / 4.0, 3)
+    summary = {
+        "mode": "local-cluster (separate executor JVMs, netty shuffle)",
+        "N": {"executors": execs, "cores": 4 * execs, "north_sec": round(tn, 3),
+              "cc_eps": rn["north"]["cc_edges_per_sec_per_superstep"],
+              "pr_eps": rn["north"]["pr_edges_per_sec_per_iter"],
+              "grid_vps": rn["north"]["grid_voxels_per_sec"]},
+        "4N": {"executors": 4 * execs, "cores": 16 * execs,
+               "north_sec": round(t4n, 3),
+               "cc_eps": r4n["north"]["cc_edges_per_sec_per_superstep"],
+               "pr_eps": r4n["north"]["pr_edges_per_sec_per_iter"],
+               "grid_vps": r4n["north"]["grid_voxels_per_sec"]},
+        "scaling_efficiency_north": eff,
+        "target": 0.8,
+    }
+    print(json.dumps(summary, indent=2))
+    name = "BENCH_CLUSTER.json" if execs == 2 else f"BENCH_CLUSTER_{execs}x.json"
+    with open(os.path.join(REPO, name), "w") as f:
+        json.dump({"summary": summary, "raw": {"N": rn, "4N": r4n}}, f, indent=1)
+    print(f"wrote {name}")
+
+
 def main() -> None:
     pages = 200_000
     edges = 40_000_000
@@ -50,6 +106,12 @@ def main() -> None:
         pages = int(sys.argv[sys.argv.index("--pages") + 1])
     if "--edges" in sys.argv:
         edges = int(sys.argv[sys.argv.index("--edges") + 1])
+    if "--cluster" in sys.argv:
+        execs = 2
+        if "--execs" in sys.argv:
+            execs = int(sys.argv[sys.argv.index("--execs") + 1])
+        cluster_mode(pages, edges, execs)
+        return
 
     r8 = run_bench(8, pages, edges)
     r32 = run_bench(32, pages, edges)

@@ -194,3 +194,24 @@ def test_return_n_consistency(spark):
     comp = grid_components(spark, df, (6, 6, 6), 26)
     rows = comp.collect()
     assert len(classes_of(rows)) == comp.select("component").distinct().count()
+
+
+def test_g11_tagged_stars_fast_path_equals_generic(spark):
+    """cc.components_from_stars has two stitches: the generic full groupBy
+    and the owner/face fast path (face rows only + broadcast label join).
+    The dense kernel's tagged output must produce identical classes through
+    BOTH — dropping the tag columns forces the generic path."""
+    from connected_components_3d_spark.operators.cc import components_from_stars
+    from connected_components_3d_spark.operators.grid import dense_grid_stars
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 3, size=(13, 5, 4)).astype(np.int64)
+    a[rng.rand(13, 5, 4) < 0.45] = 0
+    df = grid_from_array(spark, a)
+    stars = dense_grid_stars(spark, df, a.shape, 26, num_slabs=4).persist()
+    fast = classes_of(components_from_stars(spark, stars).collect())
+    generic = classes_of(
+        components_from_stars(spark, stars.select("vertex", "root")).collect()
+    )
+    stars.unpersist()
+    assert fast == generic == nx_grid_classes(a, 26)
