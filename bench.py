@@ -40,6 +40,11 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
 N_EDGES = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "4000000"))
 # 1 → run only the synthetic-graph north kernels (used by scaling sweeps)
 KERNELS_ONLY = os.environ.get("SPARK_GRAFT_BENCH_KERNELS_ONLY", "0") == "1"
+# 1 → ONLY the two kernels the north rule names (CC hash-min + PageRank
+# iteration); skips grid and blockuf so large-edge scaling sweeps spend
+# their wall budget on the metric being graded. Implies KERNELS_ONLY.
+NORTH_ONLY = os.environ.get("SPARK_GRAFT_BENCH_NORTH_ONLY", "0") == "1"
+KERNELS_ONLY = KERNELS_ONLY or NORTH_ONLY
 
 
 def timed(fn):
@@ -93,19 +98,20 @@ def main() -> None:
         )
         queries["grid_cc_1m_voxels"] = t
         gvol.unpersist()
-    # 4M-voxel volume: the 1M row is mostly fixed per-job overhead for the
-    # dense slab kernel — the larger volume is the amortized rate the
-    # voxels/sec north metric reports (and the gated number)
-    gshape4 = (256, 256, 64)
-    gvol4 = synthetic_grid(spark, gshape4).persist()
-    n_vox4 = gvol4.count()
-    t, comps = timed(
-        lambda: grid_components(spark, gvol4, gshape4, connectivity=26)
-    )
-    queries["grid_cc_4m_voxels"] = t
-    north["grid_voxels"] = n_vox4
-    north["grid_voxels_per_sec"] = round(n_vox4 / t, 1)
-    gvol4.unpersist()
+    if not NORTH_ONLY:
+        # 4M-voxel volume: the 1M row is mostly fixed per-job overhead for
+        # the dense slab kernel — the larger volume is the amortized rate the
+        # voxels/sec north metric reports (and the gated number)
+        gshape4 = (256, 256, 64)
+        gvol4 = synthetic_grid(spark, gshape4).persist()
+        n_vox4 = gvol4.count()
+        t, comps = timed(
+            lambda: grid_components(spark, gvol4, gshape4, connectivity=26)
+        )
+        queries["grid_cc_4m_voxels"] = t
+        north["grid_voxels"] = n_vox4
+        north["grid_voxels_per_sec"] = round(n_vox4 / t, 1)
+        gvol4.unpersist()
 
     # -- north-metric kernels on a larger synthetic edge table -------------
     # BASELINE.json:2 names "CC hash-min + PageRank iteration" edges/sec;
@@ -146,8 +152,9 @@ def main() -> None:
     north["cc_median_superstep_s"] = round(cc_med, 3)
     north["cc_edges_per_sec_per_superstep"] = round(2 * n_synth / cc_med, 1)
 
-    t, res = timed(lambda: connected_components(spark, synth, method="blockuf"))
-    queries["cc_synth_blockuf"] = t
+    if not NORTH_ONLY:
+        t, res = timed(lambda: connected_components(spark, synth, method="blockuf"))
+        queries["cc_synth_blockuf"] = t
 
     t, pr = timed(lambda: pagerank(spark, synth, fixed_iters=5))
     _ = pr.ranks.count()
