@@ -189,6 +189,7 @@ def connected_components(
     num_salts: int = 8,
     hot_key_threshold: int = 10_000_000,
     salting_min_edges: int = 10_000_000,
+    jump_broadcast_max_labels: int = 2_000_000,
 ) -> CCResult:
     """CC over a directed or undirected edge table.
 
@@ -436,6 +437,10 @@ def connected_components(
     frontier = labels  # (vertex, label)
     n_labels = labels.count()
     prev_changed: int | None = None
+    # running estimate of DISTINCT label values (refreshed each superstep in
+    # the same action that counts the frontier — no extra pass): gates the
+    # broadcast jump map below
+    prev_distinct: int | None = None
     jump_skip_allowed = True
     for step in range(start_step, max_iter):
         t0 = time.time()
@@ -479,9 +484,34 @@ def connected_components(
             and prev_changed < max(int(0.005 * n_labels), 32)
         )
         if do_jump:
-            jump = labels.select(
-                F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
-            )
+            # CONVERGENCE-SKEW guard (the 160M-edge scale-killer, BENCH.md
+            # §2): the jump keys `stepped` by mid_label, and as labels
+            # collapse toward component minima the giant component's min id
+            # becomes a maximally hot key — a plain V⋈V SMJ funnels nearly
+            # all V rows into ONE reduce task (measured: 17-task stage with
+            # a single 200s straggler while 31 cores idle). But the jump map
+            # only needs DISTINCT label values — a set that shrinks
+            # monotonically as CC converges — so once it fits a broadcast,
+            # contract the map (distinct labels ⋈ labels: skew-free, one
+            # output row per key) and broadcast-hash-join it into `stepped`:
+            # no exchange by mid_label at all, no straggler, and two V-row
+            # shuffles removed per superstep. Bit-identical labels either
+            # way (mid_label is always a current label value, so the
+            # contracted map is total over it).
+            if (
+                prev_distinct is not None
+                and prev_distinct <= jump_broadcast_max_labels
+            ):
+                dvals = labels.select(F.col("label").alias("j_vertex")).distinct()
+                jump = F.broadcast(
+                    labels.join(
+                        F.broadcast(dvals), labels.vertex == dvals.j_vertex
+                    ).select("j_vertex", F.col("label").alias("j_label"))
+                )
+            else:
+                jump = labels.select(
+                    F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
+                )
             new_labels = _truncate(
                 stepped.join(
                     jump, stepped.mid_label == jump.j_vertex, "left"
@@ -504,7 +534,17 @@ def connected_components(
         frontier = new_labels.where(F.col("label") != F.col("old_label")).select(
             "vertex", "label"
         )
-        changed = frontier.count()
+        # ONE action per superstep: frontier size + distinct-label estimate
+        # (feeds the broadcast-jump gate next superstep; ±5% rsd is plenty
+        # for a threshold decision)
+        _row = new_labels.agg(
+            F.count(
+                F.when(F.col("label") != F.col("old_label"), F.lit(1))
+            ).alias("chg"),
+            F.approx_count_distinct("label").alias("nd"),
+        ).collect()[0]
+        changed = _row["chg"]
+        prev_distinct = _row["nd"]
         if (
             not do_jump
             and prev_changed is not None

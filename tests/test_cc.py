@@ -150,3 +150,21 @@ def test_blockuf_range_blocks_match_hashmin(spark):
             spark, e, method="blockuf", num_blocks=nb, block_key="range"
         ).components.collect()))
         assert got == want, nb
+
+
+def test_broadcast_jump_map_is_exact(spark):
+    """The convergence-skew guard (broadcast contracted jump map) must be
+    bit-identical to the plain V-by-V SMJ jump — same graph, gate forced on
+    vs forced off (jump_broadcast_max_labels=0 never broadcasts)."""
+    g = nx.gnp_random_graph(1500, 0.003, seed=11)
+    pairs = list(g.edges()) + [(i, i + 1) for i in range(3000, 3400)]
+    e = edges_df(spark, pairs)
+    on = connected_components(
+        spark, e, method="hashmin", jump_broadcast_max_labels=2_000_000
+    )
+    off = connected_components(
+        spark, e, method="hashmin", jump_broadcast_max_labels=0
+    )
+    assert sorted(map(tuple, on.components.collect())) == sorted(
+        map(tuple, off.components.collect())
+    )
