@@ -55,6 +55,22 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    executor_java_opts = os.environ.get("SPARK_GRAFT_EXECUTOR_JAVA_OPTS", "")
+    if master.startswith("local-cluster["):
+        # Each executor JVM sizes its GC/netty/codegen thread pools from
+        # Runtime.availableProcessors() — the WHOLE box's core count, not
+        # the [W,cores,mem] slice it was granted. With 8 executors on a
+        # 32-core box that is 8 machine-sized pool sets (run queues >32,
+        # 23-57% system time during shuffle, BENCH.md §2). A real cluster
+        # node's JVM sees only its own cores; ActiveProcessorCount restores
+        # that regime (measured: CC 160M-edge median superstep 41.5s →
+        # 23.2s at 8 executors).
+        cores = master.split("[", 1)[1].split(",")[1].strip()
+        if cores.isdigit():
+            executor_java_opts = (
+                f"{executor_java_opts} -XX:ActiveProcessorCount={cores}".strip()
+            )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -82,6 +98,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if executor_java_opts:
+        builder = builder.config(
+            "spark.executor.extraJavaOptions", executor_java_opts
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
