@@ -205,6 +205,10 @@ def main() -> None:
         "north": north,
     }
     print(json.dumps(out))
+    # graceful teardown: in local-cluster mode an abrupt interpreter exit
+    # races the master's executor-relaunch loop against worker shutdown
+    # (spurious ERRORs + nonzero exit after a fully successful run)
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -49,11 +49,15 @@ def run_bench(
         env=env,
         capture_output=True,
         text=True,
-        check=True,
         cwd=REPO,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    # the measurement is the JSON line; local-cluster teardown can exit
+    # nonzero AFTER printing it (executor-relaunch vs worker-shutdown race)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench.py produced no JSON (exit {out.returncode})")
+    return json.loads(lines[-1])
 
 
 def cluster_mode(
