@@ -245,6 +245,10 @@ def connected_components(
     start_step = 0
     labels: DataFrame | None = None
     resume_root_fp: str | None = None
+    # True when the loop starts from freshly-built identity labels (label ==
+    # vertex for every row) rather than a resumed checkpoint — gates the
+    # superstep-0 shortcut below
+    identity_start = False
 
     if checkpoint_dir and resume:
         latest = ckpt.latest_valid_step(checkpoint_dir)
@@ -359,6 +363,7 @@ def connected_components(
             labels = _truncate(
                 roots_v.select("vertex", F.col("vertex").alias("label"))
             )
+            identity_start = True
     elif method == "hashmin":
         # raw (non-distinct) symmetrization: duplicate edges cannot change a
         # min-aggregate, and the distinct() of the doubled edge table is the
@@ -371,6 +376,7 @@ def connected_components(
             labels = _truncate(
                 verts.select("vertex", F.col("vertex").alias("label"))
             )
+            identity_start = True
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -448,7 +454,21 @@ def connected_components(
         # on a min-lattice: a new minimum can only arrive from a neighbor
         # whose label just dropped, so the E-row join shrinks with the
         # frontier and AQE broadcasts it once it is small)
-        if use_salting:
+        # superstep-0 identity shortcut: on a fresh run labels == frontier ==
+        # identity, so label(src) IS src — the E⋈V join is the identity on
+        # the edge side and the pointer-jump map is a no-op. The widest
+        # superstep of the job (full frontier) collapses to ONE
+        # map-side-combined min aggregation over the persisted edge table.
+        # Bit-identical labels: min(src over in-neighbors) ≡ min(label(src))
+        # under identity. Hub-safe without salting: partial aggregation
+        # bounds what any reducer receives (≤ one partial per map partition)
+        # and no join output materializes hub-width rows.
+        first_identity = identity_start and step == 0
+        if first_identity:
+            nbr_min = prop_edges.groupBy(F.col("dst").alias("vertex")).agg(
+                F.min("src").alias("nbr_label")
+            )
+        elif use_salting:
             from .skew import salted_min_join
 
             nbr_min = salted_min_join(frontier, prop_edges, num_salts)
@@ -478,7 +498,10 @@ def connected_components(
         # into O(d) — so a stall detector below permanently re-enables the
         # jump the moment a skipped superstep fails to at least halve the
         # frontier. Worst case: ONE extra cheap superstep.
-        do_jump = not (
+        # (first_identity: the jump map is the identity — skipping it is
+        # exact and saves the V⋈V self-join on the widest superstep. The
+        # stall detector is unaffected: prev_changed is None at step 0.)
+        do_jump = not first_identity and not (
             jump_skip_allowed
             and prev_changed is not None
             and prev_changed < max(int(0.005 * n_labels), 32)

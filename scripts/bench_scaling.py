@@ -44,20 +44,39 @@ def run_bench(
         env["SPARK_GRAFT_BENCH_KERNELS_ONLY"] = "1"
     if north_only:
         env["SPARK_GRAFT_BENCH_NORTH_ONLY"] = "1"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        cwd=REPO,
+    # each side of a pair is an hour-class run — keep its FULL output on
+    # disk (a tail is useless when the failure is mid-run) and checkpoint
+    # the parsed JSON immediately so a crash on the second side never loses
+    # the first side's measurement (cost us a 1h N-side once).
+    tag = (master or f"local[{cpus}]").replace("[", "_").replace("]", "").replace(
+        ",", "_"
     )
+    if "--reuse" in sys.argv and os.path.exists(f"/tmp/bench_{tag}_c{cpus}.json"):
+        with open(f"/tmp/bench_{tag}_c{cpus}.json") as f:
+            return json.load(f)
+    log_path = f"/tmp/bench_{tag}_c{cpus}.log"
+    with open(log_path, "w") as logf:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=logf,
+            text=True,
+            cwd=REPO,
+        )
+        logf.write("\n----- stdout -----\n" + out.stdout)
     # the measurement is the JSON line; local-cluster teardown can exit
     # nonzero AFTER printing it (executor-relaunch vs worker-shutdown race)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
-        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-        raise RuntimeError(f"bench.py produced no JSON (exit {out.returncode})")
-    return json.loads(lines[-1])
+        raise RuntimeError(
+            f"bench.py produced no JSON (exit {out.returncode}); "
+            f"full log at {log_path}"
+        )
+    res = json.loads(lines[-1])
+    with open(f"/tmp/bench_{tag}_c{cpus}.json", "w") as f:
+        json.dump(res, f, indent=1)
+    return res
 
 
 def cluster_mode(
