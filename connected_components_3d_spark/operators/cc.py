@@ -189,7 +189,11 @@ def connected_components(
     num_salts: int = 8,
     hot_key_threshold: int = 10_000_000,
     salting_min_edges: int = 10_000_000,
-    jump_broadcast_max_labels: int = 2_000_000,
+    # 8M rows ≈ 128MB torrent broadcast — comfortably inside executor memory
+    # at any realistic sizing, and wide enough that a web graph's hub-label
+    # plateau (hot-set size ~V/20) stays on the broadcast side rather than
+    # oscillating across the gate with approx_count_distinct noise
+    jump_broadcast_max_labels: int = 8_000_000,
 ) -> CCResult:
     """CC over a directed or undirected edge table.
 
@@ -521,24 +525,44 @@ def connected_components(
             # shuffles removed per superstep. Bit-identical labels either
             # way (mid_label is always a current label value, so the
             # contracted map is total over it).
-            if (
+            #
+            # ABOVE the broadcast cap the fallback must STILL be skew-safe:
+            # a plain V-row map SMJ re-creates the straggler whenever the
+            # distinct-label estimate sits near the cap (measured at 160M
+            # edges / 2M-hub graph: the estimate oscillated across the 2M
+            # gate superstep to superstep, and every SMJ superstep cost
+            # 136-158s vs 48s broadcast — same 37M-row frontier). So the
+            # fallback joins the CONTRACTED map too, replicated across
+            # num_salts sub-keys with the probe side salted by vertex hash:
+            # a hot mid_label's V rows spread over num_salts reduce tasks
+            # instead of one. Bit-identical (pure replicated lookup).
+            dvals = labels.select(F.col("label").alias("j_vertex")).distinct()
+            small = (
                 prev_distinct is not None
                 and prev_distinct <= jump_broadcast_max_labels
-            ):
-                dvals = labels.select(F.col("label").alias("j_vertex")).distinct()
-                jump = F.broadcast(
-                    labels.join(
-                        F.broadcast(dvals), labels.vertex == dvals.j_vertex
-                    ).select("j_vertex", F.col("label").alias("j_label"))
-                )
+            )
+            cmap = labels.join(
+                F.broadcast(dvals) if small else dvals,
+                labels.vertex == dvals.j_vertex,
+            ).select("j_vertex", F.col("label").alias("j_label"))
+            if small:
+                jump = F.broadcast(cmap)
+                probe = stepped
+                cond = probe.mid_label == jump.j_vertex
             else:
-                jump = labels.select(
-                    F.col("vertex").alias("j_vertex"), F.col("label").alias("j_label")
+                jump = cmap.withColumn(
+                    "_jsalt",
+                    F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
+                )
+                probe = stepped.withColumn(
+                    "_psalt",
+                    F.pmod(F.xxhash64("vertex"), F.lit(num_salts)).cast("int"),
+                )
+                cond = (probe.mid_label == jump.j_vertex) & (
+                    probe._psalt == jump._jsalt
                 )
             new_labels = _truncate(
-                stepped.join(
-                    jump, stepped.mid_label == jump.j_vertex, "left"
-                ).select(
+                probe.join(jump, cond, "left").select(
                     "vertex",
                     "old_label",
                     F.least(
