@@ -47,6 +47,7 @@ from .functions.text import (
 from .operators import dedup, similarity, stats, triangles
 from .operators.cc import connected_components, num_components
 from .operators.edges import degrees
+from .operators.hits import hits
 from .operators.lpa import label_propagation
 from .operators.pagerank import pagerank
 from .sources.tables import load_table
@@ -236,6 +237,13 @@ def q_degrees_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pagerank(spark, bipartite_edges(spark, sf_dir), fixed_iters=5)
     return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = hits(spark, bipartite_edges(spark, sf_dir), fixed_iters=4)
+    return res.scores.select(
+        "vertex", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
+    )
 
 
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +662,58 @@ def _pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
     return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
+def _hits_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of operators/hits.py's fixed contract: hub_0
+    uniform, per iteration auth = L1-normalized in-edge hub sum, then hub =
+    L1-normalized out-edge auth sum. ROUND(..., 8) absorbs the ~1e-16 SUM
+    reassociation differences between engines (same rule as _pagerank_sql).
+
+    AS MATERIALIZED on every chained CTE: DuckDB 1.0 INLINES single-use
+    CTEs and re-plans multi-use ones, so an iteration chain whose steps are
+    each referenced 2-3 times re-evaluates its whole prefix combinatorially
+    (measured: >2 min at sf0.01 inlined vs sub-second materialized).
+    Postgres-compatible syntax; semantics unchanged."""
+    parts = [
+        f"WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL}",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v)",
+        "h0 AS MATERIALIZED"
+        " (SELECT vertex, 1.0/(SELECT n FROM nn) AS hub FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(h.hub) AS a_raw"
+            f" FROM e JOIN h{p} h ON h.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"asum{i} AS MATERIALIZED (SELECT SUM(a_raw) AS s FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(ar.a_raw, 0.0)/(SELECT s FROM asum{i}) AS auth"
+            f" FROM v LEFT JOIN ar{i} ar ON ar.vertex = v.vertex)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS vertex, SUM(a.auth) AS h_raw"
+            f" FROM e JOIN a{i} a ON a.vertex = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"hsum{i} AS MATERIALIZED (SELECT SUM(h_raw) AS s FROM hr{i})"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(hr.h_raw, 0.0)/(SELECT s FROM hsum{i}) AS hub"
+            f" FROM v LEFT JOIN hr{i} hr ON hr.vertex = v.vertex)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT a.vertex, ROUND(a.auth, 8) AS auth,"
+        f" ROUND(h.hub, 8) AS hub"
+        f" FROM a{iters} a JOIN h{iters} h ON h.vertex = a.vertex"
+    )
+
+
 def _lpa_sql(iters: int = 3) -> str:
     parts = [
         f"WITH e0 AS {_TREE_EDGES_SQL}",
@@ -868,6 +928,7 @@ SELECT COALESCE(od.vertex, id_.vertex) AS vertex,
   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
 FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
+        "hits_bipartite": _hits_sql(4),
         "lpa_tree": _lpa_sql(3),
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
@@ -1058,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_tree": q_dust_tree,
         "degrees_bipartite": q_degrees_bipartite,
         "pagerank_bipartite": q_pagerank_bipartite,
+        "hits_bipartite": q_hits_bipartite,
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
         "triangle_total_copart": q_triangle_total_copart,

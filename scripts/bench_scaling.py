@@ -93,7 +93,11 @@ def run_bench(
 
 
 def cluster_mode(
-    pages: int, edges: int, execs: int = 2, north_only: bool = False
+    pages: int,
+    edges: int,
+    execs: int = 2,
+    north_only: bool = False,
+    cores: int = 4,
 ) -> None:
     """N → 4N EXECUTOR scaling on separate JVMs (VERDICT r2 #3).
 
@@ -109,16 +113,23 @@ def cluster_mode(
     count. ``north_only`` restricts the run to the two kernels the rule
     names (CC hash-min + PageRank iteration) so a large-edge sweep — the
     amortized regime the 10^12-page metric describes — spends its wall
-    budget only on the graded metric."""
+    budget only on the graded metric. ``cores`` sets the per-executor core
+    slice (both sides, and the JVM ActiveProcessorCount cap follows it):
+    2-core executors keep even the 4N side's TOTAL core count at 8 — below
+    this box's DRAM-bus saturation knee (measured between 8 and 16 active
+    threads, §2) — so the pair measures executor-count scaling in the
+    bandwidth-unsaturated regime, the one a real multi-node cluster stays
+    in at every size because each added node brings its own memory bus and
+    NIC."""
     exec_mem = int(os.environ.get("SPARK_GRAFT_CLUSTER_EXEC_MEM_MB", "8192"))
     # the driver only coordinates in cluster mode (tasks run in the worker
     # JVMs) — keep its heap small so 4N workers fit in the box's RAM
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
-    rn = run_bench(4 * execs, pages, edges,
-                   master=f"local-cluster[{execs},4,{exec_mem}]",
+    rn = run_bench(cores * execs, pages, edges,
+                   master=f"local-cluster[{execs},{cores},{exec_mem}]",
                    kernels_only=True, north_only=north_only)
-    r4n = run_bench(16 * execs, pages, edges,
-                    master=f"local-cluster[{4 * execs},4,{exec_mem}]",
+    r4n = run_bench(4 * cores * execs, pages, edges,
+                    master=f"local-cluster[{4 * execs},{cores},{exec_mem}]",
                     kernels_only=True, north_only=north_only)
 
     def north_secs(r):
@@ -128,7 +139,7 @@ def cluster_mode(
     eff = round((tn / t4n) / 4.0, 3)
 
     def block(r, w):
-        b = {"executors": w, "cores": 4 * w,
+        b = {"executors": w, "cores": cores * w,
              "north_sec": round(north_secs(r), 3),
              "cc_eps": r["north"]["cc_edges_per_sec_per_superstep"],
              "pr_eps": r["north"]["pr_edges_per_sec_per_iter"]}
@@ -150,7 +161,11 @@ def cluster_mode(
         "target": 0.8,
     }
     print(json.dumps(summary, indent=2))
-    suffix = ("" if execs == 2 else f"_{execs}x") + ("_NORTH" if north_only else "")
+    suffix = (
+        ("" if execs == 2 else f"_{execs}x")
+        + ("" if cores == 4 else f"_{cores}c")
+        + ("_NORTH" if north_only else "")
+    )
     name = f"BENCH_CLUSTER{suffix}.json"
     with open(os.path.join(REPO, name), "w") as f:
         json.dump({"summary": summary, "raw": {"N": rn, "4N": r4n}}, f, indent=1)
@@ -168,7 +183,12 @@ def main() -> None:
         execs = 2
         if "--execs" in sys.argv:
             execs = int(sys.argv[sys.argv.index("--execs") + 1])
-        cluster_mode(pages, edges, execs, north_only="--north" in sys.argv)
+        cores = 4
+        if "--cores" in sys.argv:
+            cores = int(sys.argv[sys.argv.index("--cores") + 1])
+        cluster_mode(
+            pages, edges, execs, north_only="--north" in sys.argv, cores=cores
+        )
         return
 
     r8 = run_bench(8, pages, edges)
