@@ -191,6 +191,7 @@ def main() -> None:
     run("cc_bipartite", lambda s, d: connected_components(
         s, dq.bipartite_edges(s, d), method="blockuf").components)
     run("pagerank_bipartite", dq.q_pagerank_bipartite)
+    run("hits_bipartite", dq.q_hits_bipartite)
     run("lpa_tree", dq.q_lpa_tree)
     run("triangles_copart", dq.q_triangles_copart)
     run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)

@@ -541,10 +541,26 @@ def connected_components(
                 prev_distinct is not None
                 and prev_distinct <= jump_broadcast_max_labels
             )
-            cmap = labels.join(
-                F.broadcast(dvals) if small else dvals,
-                labels.vertex == dvals.j_vertex,
-            ).select("j_vertex", F.col("label").alias("j_label"))
+            # IDENTITY FILTER (round 3, found via the 2-core cluster pair,
+            # BENCH.md §2c): a map entry with label(L) == L is a no-op under
+            # the left-join + coalesce(mid_label) below, so only
+            # NON-CONVERGED label values need to ship. The distinct-label
+            # set shrinks slowly on a hub-heavy graph (the 2M-hub plateau),
+            # but the non-identity subset collapses with the frontier —
+            # this turns the per-superstep broadcast from
+            # O(distinct labels) (~128MB at the 8M gate) into O(labels
+            # still moving), cutting the per-executor fetch+build cost that
+            # multiplies with executor count. Bit-identical labels either
+            # branch (missing key ⇒ coalesce keeps mid_label ⇒ exactly the
+            # identity the dropped entry encoded).
+            cmap = (
+                labels.join(
+                    F.broadcast(dvals) if small else dvals,
+                    labels.vertex == dvals.j_vertex,
+                )
+                .where(F.col("vertex") != F.col("label"))
+                .select("j_vertex", F.col("label").alias("j_label"))
+            )
             if small:
                 jump = F.broadcast(cmap)
                 probe = stepped
