@@ -50,6 +50,7 @@ from .operators.edges import degrees
 from .operators.hits import hits
 from .operators.lpa import label_propagation
 from .operators.pagerank import pagerank
+from .operators.ppr import personalized_pagerank
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -244,6 +245,15 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select(
         "vertex", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
     )
+
+
+def q_ppr_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on the 10 smallest order vertices —
+    a deterministic, SQL-expressible seed set (DISTINCT src ORDER BY LIMIT)."""
+    e = bipartite_edges(spark, sf_dir)
+    seeds = e.select(F.col("src").alias("vertex")).distinct().orderBy("vertex").limit(10)
+    res = personalized_pagerank(spark, e, seeds, fixed_iters=5)
+    return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
 
 
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,6 +672,50 @@ def _pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
     return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
+def _ppr_sql(iters: int = 5, alpha: float = 0.85, k_seeds: int = 10) -> str:
+    """Chained-CTE replay of operators/ppr.py's fixed contract: teleport
+    vector = uniform over the k smallest src vertices; restart AND dangling
+    mass return to the seed distribution. Same AS MATERIALIZED rationale as
+    _hits_sql (multi-referenced chained CTEs re-inline combinatorially in
+    DuckDB 1.0); ROUND(…, 8) absorbs SUM reassociation."""
+    a = repr(alpha)
+    parts = [
+        f"WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL}",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED"
+        " (SELECT src AS vertex, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"sd AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e"
+        f" ORDER BY src LIMIT {k_seeds})",
+        "ns AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS k FROM sd)",
+        "vs AS MATERIALIZED (SELECT v.vertex, COALESCE(od.outdeg, 0) AS outdeg,"
+        " CASE WHEN sd.vertex IS NOT NULL THEN 1.0/(SELECT k FROM ns)"
+        " ELSE 0.0 END AS t"
+        " FROM v LEFT JOIN od ON od.vertex = v.vertex"
+        " LEFT JOIN sd ON sd.vertex = v.vertex)",
+        "r0 AS MATERIALIZED (SELECT vertex, outdeg, t, t AS rank FROM vs)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS s"
+            f" FROM r{p} WHERE outdeg = 0)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            f" SUM(r.rank / r.outdeg) AS contrib"
+            f" FROM e JOIN r{p} r ON r.vertex = e.src WHERE r.outdeg > 0"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vs.vertex, vs.outdeg, vs.t,"
+            f" {a}*COALESCE(c.contrib, 0.0)"
+            f" + ({a}*(SELECT s FROM d{i}) + (1.0 - {a}))*vs.t AS rank"
+            f" FROM vs LEFT JOIN c{i} c ON c.vertex = vs.vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
 def _hits_sql(iters: int = 4) -> str:
     """Chained-CTE replay of operators/hits.py's fixed contract: hub_0
     uniform, per iteration auth = L1-normalized in-edge hub sum, then hub =
@@ -929,6 +983,7 @@ SELECT COALESCE(od.vertex, id_.vertex) AS vertex,
 FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
         "hits_bipartite": _hits_sql(4),
+        "ppr_bipartite": _ppr_sql(5, 0.85, 10),
         "lpa_tree": _lpa_sql(3),
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
@@ -1120,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_bipartite": q_degrees_bipartite,
         "pagerank_bipartite": q_pagerank_bipartite,
         "hits_bipartite": q_hits_bipartite,
+        "ppr_bipartite": q_ppr_bipartite,
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
         "triangle_total_copart": q_triangle_total_copart,

@@ -1,0 +1,97 @@
+"""Neighborhood function (operators/neighborhood.py): exact r-ball counts
+vs a networkx BFS oracle; HyperBall HLL estimate within a relative-error
+bound of exact on the same graph; radius-0 degeneracy."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from connected_components_3d_spark.operators.neighborhood import (
+    hyperball,
+    neighborhood_exact,
+)
+from connected_components_3d_spark.operators.reciprocity import reciprocity
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def nx_balls(pairs, radius):
+    g = nx.DiGraph()
+    g.add_edges_from((a, b) for a, b in pairs if a != b)
+    return {
+        v: 1 + sum(1 for u, d in nx.single_source_shortest_path_length(
+            g, v, cutoff=radius).items() if u != v)
+        for v in g.nodes
+    }
+
+
+def test_exact_matches_bfs(spark):
+    g = nx.gnp_random_graph(150, 0.02, seed=17, directed=True)
+    pairs = list(g.edges())
+    for r in (0, 1, 3):
+        got = {
+            row["vertex"]: row["ball_count"]
+            for row in neighborhood_exact(spark, edges_df(spark, pairs), r)
+            .collect()
+        }
+        assert got == nx_balls(pairs, r), f"radius {r}"
+
+
+def test_hyperball_close_to_exact(spark):
+    g = nx.gnp_random_graph(400, 0.008, seed=31, directed=True)
+    pairs = list(g.edges())
+    exact = nx_balls(pairs, 3)
+    est = {
+        row["vertex"]: row["ball_count"]
+        for row in hyperball(spark, edges_df(spark, pairs), 3, lgk=12)
+        .collect()
+    }
+    assert set(est) == set(exact)
+    # 2^12 registers → ~1.6% standard error; allow generous slack plus an
+    # absolute floor for tiny balls (integer rounding)
+    for v, ex in exact.items():
+        assert abs(est[v] - ex) <= max(2, 0.08 * ex), (v, ex, est[v])
+
+
+def test_hyperball_deterministic(spark):
+    g = nx.gnp_random_graph(100, 0.03, seed=41, directed=True)
+    e = list(g.edges())
+    a = sorted(hyperball(spark, edges_df(spark, e), 2).collect())
+    b = sorted(hyperball(spark, edges_df(spark, e), 2).collect())
+    assert a == b
+
+
+def test_negative_radius_raises(spark):
+    with pytest.raises(ValueError):
+        neighborhood_exact(spark, edges_df(spark, [(1, 2)]), -1)
+    with pytest.raises(ValueError):
+        hyperball(spark, edges_df(spark, [(1, 2)]), -2)
+
+
+def test_reciprocity_small(spark):
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (3, 1), (5, 5), (1, 2)]
+    got = {
+        r["vertex"]: (r["out_deg"], r["recip_deg"], r["reciprocity"])
+        for r in reciprocity(spark, edges_df(spark, pairs)).collect()
+    }
+    # simple digraph: 1→2,2→1,1→3,3→1,3→4,4→3 ; 5's self-loop dropped
+    assert got == {
+        1: (2, 2, 1.0),
+        2: (1, 1, 1.0),
+        3: (2, 2, 1.0),
+        4: (1, 1, 1.0),
+    }
+
+
+def test_reciprocity_none_returned(spark):
+    got = {
+        r["vertex"]: (r["out_deg"], r["recip_deg"], r["reciprocity"])
+        for r in reciprocity(spark, edges_df(spark, [(1, 2), (2, 3)]))
+        .collect()
+    }
+    assert got == {1: (1, 0, 0.0), 2: (1, 0, 0.0)}
