@@ -15,6 +15,17 @@ and the DuckDB chained-CTE oracle replay exactly):
   fixed_iters=k runs exactly k iterations (the SQL-oracle parity path);
   otherwise stop when Σ|Δauth| + Σ|Δhub| < |V|·tol.
 
+Action budget: TWO scalar actions per iteration, not three. Each half-step's
+normalizer is load-bearing (it gates the next half-step), so those two
+aggregates are irreducible; the convergence error rides them instead of a
+third pass — Σ|Δauth| folds into the hub normalizer's aggregate (the new
+auths exist by then), and Σ|Δhub| folds into the NEXT iteration's auth
+normalizer (scores carry prev_hub). The convergence test therefore fires at
+the top of iteration i+1 over iteration i's movement — the returned scores
+and iteration count are IDENTICAL to checking at the bottom of iteration i
+(one speculative edge-join aggregate is spent on the final, converged
+iteration; one action per iteration is saved on every other).
+
 Scale shape (SURVEY.md §4.3): HITS needs BOTH edge orientations every
 iteration (auth aggregates over in-edges keyed by src-side hubs, hubs over
 out-edges keyed by dst-side auths), so TWO persisted edge caches are laid
@@ -98,18 +109,23 @@ def hits(
     n_edges = e_fwd.count()
     e_rev.count()
 
+    # scores carries prev_hub so the NEXT auth-normalizer action can fold in
+    # Σ|Δhub| of the iteration that produced it (module docstring: two
+    # actions per iteration). prev_hub = hub at start ⇒ first fold is 0.
     scores = _truncate(
         verts.select(
             "vertex",
             F.lit(0.0).alias("auth"),
             F.lit(1.0 / n).alias("hub"),
+            F.lit(1.0 / n).alias("prev_hub"),
         )
     )
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     metrics: list[dict] = []
     converged = False
-    it = 0
+    completed = 0
+    a_err_prev: float | None = None  # Σ|Δauth| of the previous iteration
     for it in range(iters):
         t0 = time.time()
         # auth half-step: in-edge sum of current hubs. Join keys on the
@@ -122,9 +138,31 @@ def hits(
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("hub").alias("a_raw"))
         )
-        # normalization scalar = Σ a_raw (absent vertices contribute 0);
-        # one scalar action per half-step
-        a_sum = a_contrib.agg(F.sum("a_raw").alias("s")).collect()[0]["s"] or 0.0
+        # ONE action: auth normalizer Σ a_raw (absent vertices contribute 0,
+        # so the left join changes nothing in the sum) + Σ|Δhub| of the
+        # PREVIOUS iteration, now that both hub generations sit in scores
+        arow = (
+            scores.join(a_contrib, "vertex", "left")
+            .agg(
+                F.sum(F.coalesce("a_raw", F.lit(0.0))).alias("s"),
+                F.sum(F.abs(F.col("hub") - F.col("prev_hub"))).alias("h_err"),
+            )
+            .collect()[0]
+        )
+        a_sum = arow["s"] or 0.0
+        h_err_prev = arow["h_err"] or 0.0
+        if metrics:
+            metrics[-1]["l1_err"] = (a_err_prev or 0.0) + h_err_prev
+        if (
+            fixed_iters is None
+            and a_err_prev is not None
+            and a_err_prev + h_err_prev < n * tol
+        ):
+            # iteration it-1's total movement is below tolerance: the scores
+            # standing NOW are exactly what the bottom-of-iteration check
+            # would have returned
+            converged = True
+            break
         if a_sum == 0.0:
             # no edge carried mass (possible only on an empty edge set,
             # already handled) — keep scores; declare convergence
@@ -146,47 +184,67 @@ def hits(
             .groupBy(F.col("src").alias("vertex"))
             .agg(F.sum("auth").alias("h_raw"))
         )
-        h_sum = h_contrib.agg(F.sum("h_raw").alias("s")).collect()[0]["s"] or 0.0
+        # ONE action: hub normalizer + this iteration's Σ|Δauth| (the new
+        # auths exist by now; again the left join preserves the raw sum)
+        hrow = (
+            auth.join(h_contrib, "vertex", "left")
+            .agg(
+                F.sum(F.coalesce("h_raw", F.lit(0.0))).alias("s"),
+                F.sum(F.abs(F.col("auth") - F.col("old_auth"))).alias("a_err"),
+            )
+            .collect()[0]
+        )
+        h_sum = hrow["s"] or 0.0
+        a_err_prev = hrow["a_err"] or 0.0
+        if h_sum == 0.0:
+            # unreachable when a_sum > 0 (positivity propagates along the
+            # same edges), but guard anyway: DON'T divide — non-ANSI double
+            # division by zero would silently null every hub score
+            converged = True
+            break
         new_scores = auth.join(h_contrib, "vertex", "left").select(
             "vertex",
-            "old_auth",
-            "old_hub",
             "auth",
             (F.coalesce("h_raw", F.lit(0.0)) / F.lit(h_sum)).alias("hub"),
+            F.col("old_hub").alias("prev_hub"),
         )
         new_scores = _truncate(new_scores)
-        # ONE action closes the iteration: L1 movement of both score vectors
-        row = new_scores.agg(
-            (
-                F.sum(F.abs(F.col("auth") - F.col("old_auth")))
-                + F.sum(F.abs(F.col("hub") - F.col("old_hub")))
-            ).alias("err")
-        ).collect()[0]
-        err = row["err"]
         wall = time.time() - t0
-        scores = new_scores.select("vertex", "auth", "hub")
+        scores = new_scores
+        completed += 1
         gc.collect()
         metrics.append(
             {
                 "iter": it,
-                "l1_err": err,
+                "l1_err": None,  # patched by the NEXT iteration's fold
+                "a_l1_err": a_err_prev,
                 "wall_s": round(wall, 4),
                 "edges_per_sec": round(2 * n_edges / wall, 1) if wall > 0 else None,
             }
         )
-        if fixed_iters is None and err < n * tol:
-            converged = True
-            break
     if fixed_iters is not None:
         converged = True
+    elif not converged and completed > 0:
+        # loop exhausted max_iter: the final iteration's Σ|Δhub| was never
+        # folded — one closing action decides whether that last movement
+        # was already below tolerance (parity with a bottom-of-iteration
+        # convergence check)
+        h_err_last = (
+            scores.agg(
+                F.sum(F.abs(F.col("hub") - F.col("prev_hub"))).alias("h")
+            ).collect()[0]["h"]
+            or 0.0
+        )
+        metrics[-1]["l1_err"] = (a_err_prev or 0.0) + h_err_last
+        converged = (a_err_prev or 0.0) + h_err_last < n * tol
     e_fwd.unpersist()
     e_rev.unpersist()
-    out = (
-        scores.select(F.col("vertex").cast("long").alias("vertex"), "auth", "hub")
-        if packed
-        else scores.select("vertex", "auth", "hub")
+    out = scores.select(
+        F.col("vertex").cast("long").alias("vertex") if packed else F.col("vertex"),
+        "auth",
+        "hub",
     )
-    return HITSResult(out, it + 1, converged, metrics)
+    return HITSResult(out, completed, converged, metrics)
 
 
 def hits_single_node(

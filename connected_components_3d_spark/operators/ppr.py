@@ -126,7 +126,7 @@ def personalized_pagerank(
     iters = fixed_iters if fixed_iters is not None else max_iter
     metrics: list[dict] = []
     converged = False
-    it = 0
+    completed = 0
     # danglesum for iteration 0: alpha * Σ t[dangling]
     d0 = (
         ranks.where(F.col("out_deg") == 0)
@@ -173,6 +173,7 @@ def personalized_pagerank(
         if fixed_iters is None:
             converged = err < n * tol
         ranks = new_ranks.select("vertex", "out_deg", "t", "rank")
+        completed += 1
         gc.collect()
         metrics.append(
             {
@@ -192,7 +193,7 @@ def personalized_pagerank(
         if packed
         else ranks.select("vertex", "rank")
     )
-    return PPRResult(out, it + 1, converged, metrics)
+    return PPRResult(out, completed, converged, metrics)
 
 
 def ppr_single_node(

@@ -69,19 +69,26 @@ def strongly_connected_components(
 ) -> SCCResult:
     """SCCs of the DIRECTED simple graph (duplicate edges and self-loops
     dropped; an isolated self-loop vertex is its own SCC, like every
-    vertex is)."""
+    vertex is).
+
+    Raises ``RuntimeError`` if ``max_outer`` rounds don't assign every
+    vertex — a partial vertex→component map is never returned.
+    """
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e_cast = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
     e_all = (
-        edges.select(
-            F.col("src").cast("long").alias("src"),
-            F.col("dst").cast("long").alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
+        e_cast.where(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(p, "src")
         .persist()
     )
-    verts = _truncate(vertices(e_all))
+    # vertex set from the UNFILTERED edges: a vertex whose only edge is a
+    # self-loop has no e_all edge, so trim round 1 assigns it a singleton
+    # SCC — matching the docstring (and networkx) semantics
+    verts = _truncate(vertices(e_cast))
 
     assigned_parts: list[DataFrame] = []
     active_v = verts
@@ -210,6 +217,18 @@ def strongly_connected_components(
     if active_e is not e_all:
         active_e.unpersist()
     e_all.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"strongly_connected_components: max_outer={max_outer} rounds "
+            "exhausted with vertices still unassigned — raise max_outer "
+            "(a partial vertex->component map is never returned)"
+        )
+    if not assigned_parts:  # empty graph (no edges at all)
+        empty = verts.select(
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("vertex").cast("long").alias("component"),
+        )
+        return SCCResult(empty, outer, converged, metrics)
     out = assigned_parts[0]
     for part in assigned_parts[1:]:
         out = out.unionAll(part)

@@ -66,3 +66,10 @@ def test_empty(spark):
     res = hits(spark, edges_df(spark, []), fixed_iters=2)
     assert res.scores.count() == 0
     assert res.converged
+
+
+def test_zero_fixed_iters_counts_zero(spark):
+    res = hits(spark, edges_df(spark, [(1, 2), (2, 3)]), fixed_iters=0)
+    assert res.num_iters == 0
+    got = {r["vertex"]: (r["auth"], r["hub"]) for r in res.scores.collect()}
+    assert got == {v: (0.0, 1.0 / 3) for v in (1, 2, 3)}  # initial state

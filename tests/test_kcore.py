@@ -40,8 +40,10 @@ def test_random_gnp(spark):
 
 
 def test_deep_peeling_chain_of_cliques(spark):
-    # cliques of size 4 strung on a path: the path peels away round by
-    # round, the cliques survive as the 3-core
+    # 4-cliques (the surviving 3-core) plus a depth-3 complete binary tree
+    # hanging off clique 0: parallel peeling at k=3 removes the tree LEVEL
+    # BY LEVEL (leaves first, then their now-degree-1 parents, ...), so the
+    # peel provably takes multiple rounds before the cliques remain
     pairs = []
     for c in range(5):
         base = 100 * c
@@ -49,9 +51,15 @@ def test_deep_peeling_chain_of_cliques(spark):
             (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
         ]
         if c:
-            pairs.append((100 * (c - 1), base))  # bridge (degree-1 after peel)
+            pairs.append((100 * (c - 1), base))  # clique-to-clique bridge
+    # binary tree: node t has children 2t+1, 2t+2 (ids offset by 1000);
+    # root (t=0) also linked into clique 0 — every tree vertex peels
+    pairs.append((0, 1000))
+    for t in range(7):  # internal nodes of a 15-vertex complete binary tree
+        pairs += [(1000 + t, 1000 + 2 * t + 1), (1000 + t, 1000 + 2 * t + 2)]
     res = assert_kcore_matches(spark, pairs, 3)
-    assert res.num_rounds >= 1
+    # leaves, then depth-2 nodes, then depth-1, then the root: ≥ 4 rounds
+    assert res.num_rounds >= 4
 
 
 def test_empty_core(spark):

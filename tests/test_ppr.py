@@ -71,3 +71,13 @@ def test_seed_outside_graph_ignored_and_all_outside_raises(spark):
         personalized_pagerank(
             spark, edges_df(spark, pairs), seeds_df(spark, [99]), fixed_iters=2
         )
+
+
+def test_zero_fixed_iters_counts_zero(spark):
+    res = personalized_pagerank(
+        spark, edges_df(spark, [(1, 2), (2, 3)]), seeds_df(spark, [1]),
+        fixed_iters=0,
+    )
+    assert res.num_iters == 0
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    assert got == {1: 1.0, 2: 0.0, 3: 0.0}  # the seed teleport vector

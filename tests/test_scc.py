@@ -86,3 +86,44 @@ def test_partition_invariance(spark):
     ga = {r["vertex"]: r["component"] for r in a.components.collect()}
     gb = {r["vertex"]: r["component"] for r in b.components.collect()}
     assert ga == gb
+
+
+def test_self_loop_only_vertex_is_singleton(spark):
+    # v=9's only edge is 9->9: networkx keeps it as the SCC {9}; so do we
+    pairs = [(1, 2), (2, 1), (9, 9), (2, 3)]
+    got = {
+        r["vertex"]: r["component"]
+        for r in strongly_connected_components(
+            spark, edges_df(spark, pairs)
+        ).components.collect()
+    }
+    g = nx.DiGraph()
+    g.add_edges_from(pairs)  # networkx keeps self-loops; semantics agree
+    ref = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            ref[v] = m
+    assert got == ref
+    assert got[9] == 9
+
+
+def test_empty_and_self_loop_only_graphs(spark):
+    res = strongly_connected_components(spark, edges_df(spark, []))
+    assert res.components.count() == 0
+    assert res.components.columns == ["vertex", "component"]
+    assert res.converged
+    res2 = strongly_connected_components(spark, edges_df(spark, [(5, 5)]))
+    got = {r["vertex"]: r["component"] for r in res2.components.collect()}
+    assert got == {5: 5}
+
+
+def test_max_outer_exhaustion_raises(spark):
+    import pytest
+
+    # a 2-cycle feeding a second 2-cycle: the forward coloring paints BOTH
+    # with col=1, round 1 harvests only {1,2}, so max_outer=1 cannot finish
+    # -> must raise, never return a partial map
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)]
+    with pytest.raises(RuntimeError, match="max_outer"):
+        strongly_connected_components(spark, edges_df(spark, pairs), max_outer=1)
