@@ -48,9 +48,13 @@ from .operators import dedup, similarity, stats, triangles
 from .operators.cc import connected_components, num_components
 from .operators.edges import degrees
 from .operators.hits import hits
+from .operators.kcore import k_core
 from .operators.lpa import label_propagation
+from .operators.neighborhood import neighborhood_exact
 from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
+from .operators.reciprocity import reciprocity
+from .operators.scc import strongly_connected_components
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -130,6 +134,50 @@ _COPART_EDGES_SQL = """(
   SELECT DISTINCT a.l_partkey::BIGINT AS src, b.l_partkey::BIGINT AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+
+def scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed fixture with KNOWN nontrivial SCC structure (FIXTURES.md §1
+    family): customers grouped into buckets of 5 form directed rings (each
+    ring = one SCC of size ≤ 5; the trailing partial bucket leaves sinks
+    that TRIM must peel), every 50th ring points one edge into the next
+    ring (acyclic ring→ring chain ⇒ forward coloring paints both rings with
+    one min, forcing a SECOND outer harvest round), and each nation hangs
+    an in-degree-0 tendril vertex onto some customer (more trim work)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n = customer.count()  # scalar only: custkeys are 1..n contiguous
+    ring = customer.selectExpr(
+        "CAST(c_custkey AS BIGINT) AS src",
+        "CAST(((c_custkey - 1) div 5) * 5 + ((c_custkey - 1) % 5 + 1) % 5 + 1"
+        " AS BIGINT) AS dst",
+    )
+    chain = customer.where(
+        "((c_custkey - 1) div 5) % 50 = 0 AND (c_custkey - 1) % 5 = 0"
+    ).selectExpr(
+        "CAST(c_custkey AS BIGINT) AS src",
+        "CAST((((c_custkey - 1) div 5) + 1) * 5 + 1 AS BIGINT) AS dst",
+    )
+    tendril = nation.selectExpr(
+        "CAST(100000 + n_nationkey AS BIGINT) AS src",
+        f"CAST((n_nationkey * 57) % {n} + 1 AS BIGINT) AS dst",
+    )
+    return ring.unionByName(chain).unionByName(tendril)
+
+
+_SCC_EDGES_SQL = """(
+  SELECT c_custkey::BIGINT AS src,
+         (((c_custkey - 1) // 5) * 5 + ((c_custkey - 1) % 5 + 1) % 5 + 1)::BIGINT AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey::BIGINT, ((((c_custkey - 1) // 5) + 1) * 5 + 1)::BIGINT
+  FROM customer
+  WHERE ((c_custkey - 1) // 5) % 50 = 0 AND (c_custkey - 1) % 5 = 0
+  UNION ALL
+  SELECT (100000 + n_nationkey)::BIGINT,
+         ((n_nationkey * 57) % (SELECT COUNT(*) FROM customer) + 1)::BIGINT
+  FROM nation
 )"""
 
 
@@ -259,6 +307,49 @@ def q_ppr_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
+
+
+def q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6b on the driver gate: SCCs of the ring/chain/tendril fixture
+    (scc_edges docstring), hash-compared against a recursive-CTE mutual-
+    reachability DuckDB oracle (v ~ w iff v reaches w AND w reaches v;
+    component = min of the mutual-reachability class)."""
+    res = strongly_connected_components(spark, scc_edges(spark, sf_dir))
+    return res.components
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9b on the driver gate: 6-core of the (undirected) bipartite
+    order—part graph — k=6 is the smallest k whose peel CASCADES here
+    (9 rounds at sf0.01, measured), so the row exercises the iterative
+    path, not a single filter. Oracle: fixed-round chained-CTE peel replay
+    (extra rounds are no-ops past the fixpoint; the k-core is unique)."""
+    res = k_core(spark, bipartite_edges(spark, sf_dir), 6)
+    return res.core
+
+
+def q_neighborhood_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7d (exact path) on the driver gate: |ball(v, 2)| over the
+    SYMMETRIZED tree graph — ball_2(customer) spans its nation's sibling
+    customers, ball_2(region) spans every customer two hops down, so the
+    counts are structurally varied. Oracle: chained-CTE ball expansion,
+    round for round."""
+    e0 = tree_edges(spark, sf_dir)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return neighborhood_exact(spark, sym, 2)
+
+
+def q_reciprocity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5g on the driver gate: reciprocity over the copart graph oriented
+    src<dst with the (src+dst) % 3 == 0 subset reciprocated — per-vertex
+    fractions span 0..1. Oracle: plain-SQL self-join."""
+    und = copart_edges(spark, sf_dir)
+    back = und.where((F.col("src") + F.col("dst")) % 3 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return reciprocity(spark, und.unionByName(back))
 
 
 def q_triangles_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -930,6 +1021,93 @@ pairs AS (SELECT a.id AS id_a, b.id AS id_b,
  FROM base a JOIN base b ON a.id <> b.id)"""
 
 
+_SCC_PARTS_SQL = f"""WITH RECURSIVE e AS MATERIALIZED {_SCC_EDGES_SQL},
+v AS MATERIALIZED (SELECT DISTINCT vertex FROM
+  (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+reach(src, dst) AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst AND r.src <> e.dst
+),
+mutual AS MATERIALIZED (
+  SELECT r1.src AS v, r1.dst AS w FROM reach r1
+  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src
+),
+comp AS (SELECT v, MIN(w) AS mw FROM mutual GROUP BY v)
+SELECT vv.vertex, LEAST(vv.vertex, COALESCE(c.mw, vv.vertex)) AS component
+FROM v vv LEFT JOIN comp c ON c.v = vv.vertex"""
+
+
+def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
+    """Fixed-round chained-CTE peel replay of operators/kcore.py: the k-core
+    is UNIQUE, so any round budget ≥ the fixpoint depth reproduces it (extra
+    rounds are no-ops). AS MATERIALIZED everywhere — DuckDB 1.0 re-inlines
+    multi-referenced chained CTEs combinatorially otherwise."""
+    parts = [
+        f"WITH und AS MATERIALIZED {edge_sql}",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM und WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT vertex, COUNT(*) AS deg FROM"
+            f" (SELECT src AS vertex FROM e{p}"
+            f"  UNION ALL SELECT dst FROM e{p}) GROUP BY vertex)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT vertex FROM d{i} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT src, dst FROM e{p}"
+            f" WHERE src IN (SELECT vertex FROM k{i})"
+            f" AND dst IN (SELECT vertex FROM k{i}))"
+        )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vertex, COUNT(*)::BIGINT AS kcore_deg FROM
+ (SELECT src AS vertex FROM e{rounds} UNION ALL SELECT dst FROM e{rounds})
+GROUP BY vertex"""
+
+
+def _neighborhood_sql(edge_sql: str, radius: int) -> str:
+    """Chained-CTE replay of neighborhood_exact: ball_0 = {{v}},
+    ball_r = {{v}} ∪ ⋃_{{v→u}} ball_{{r-1}}(u), materialized as DISTINCT
+    (vertex, member) pairs, exactly ``radius`` rounds."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED {edge_sql}",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "b0 AS MATERIALIZED (SELECT vertex, vertex AS member FROM v)",
+    ]
+    for i in range(1, radius + 1):
+        p = i - 1
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT vertex, member FROM ("
+            f"SELECT e.src AS vertex, b.member FROM e"
+            f" JOIN b{p} b ON b.vertex = e.dst"
+            f" UNION ALL SELECT vertex, member FROM b{p}))"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT vertex, COUNT(*)::BIGINT AS ball_count"
+        f" FROM b{radius} GROUP BY vertex"
+    )
+
+
+_RECIPROCITY_PARTS_SQL = f"""WITH und AS MATERIALIZED {_COPART_EDGES_SQL},
+e AS MATERIALIZED (
+  SELECT src, dst FROM und
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM und WHERE (src + dst) % 3 = 0),
+od AS (SELECT src, COUNT(*)::BIGINT AS out_deg FROM e GROUP BY src),
+rc AS (SELECT e.src, COUNT(*)::BIGINT AS recip_deg FROM e
+  JOIN e r ON r.src = e.dst AND r.dst = e.src GROUP BY e.src)
+SELECT od.src AS vertex, od.out_deg,
+  COALESCE(rc.recip_deg, 0)::BIGINT AS recip_deg,
+  ROUND(COALESCE(rc.recip_deg, 0)::DOUBLE / od.out_deg, 8) AS reciprocity
+FROM od LEFT JOIN rc ON rc.src = od.src"""
+
+
 def oracle_sql() -> dict[str, str]:
     tree_cc = f"SELECT vertex, component FROM {_TREE_COMP_SQL} c"
     return {
@@ -984,6 +1162,16 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
         "hits_bipartite": _hits_sql(4),
         "ppr_bipartite": _ppr_sql(5, 0.85, 10),
+        "scc_parts": _SCC_PARTS_SQL,
+        # 14 rounds ≥ the measured fixpoint depth (9 at sf0.01, 5 at
+        # sf0.001) with margin; extra rounds are no-ops (unique k-core)
+        "kcore_parts": _kcore_sql(_BIPARTITE_EDGES_SQL, 6, 14),
+        "neighborhood_r2": _neighborhood_sql(
+            f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
+            f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
+            2,
+        ),
+        "reciprocity_parts": _RECIPROCITY_PARTS_SQL,
         "lpa_tree": _lpa_sql(3),
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
@@ -1176,6 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_bipartite": q_pagerank_bipartite,
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,
+        "scc_parts": q_scc_parts,
+        "kcore_parts": q_kcore_parts,
+        "neighborhood_r2": q_neighborhood_r2,
+        "reciprocity_parts": q_reciprocity_parts,
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
         "triangle_total_copart": q_triangle_total_copart,
