@@ -341,6 +341,49 @@ def q_neighborhood_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_exact(spark, sym, 2)
 
 
+def tree_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree graph + a cycle over the nation vertices: known core structure
+    (customers core 1; nations and regions core 3 — after the degree-1
+    customers peel, nations keep ring(2)+region(1)=3 and regions keep 5)."""
+    nation = load_table(spark, sf_dir, "nation")
+    ring = nation.selectExpr(
+        "CAST(100 + n_nationkey AS BIGINT) AS src",
+        "CAST(100 + (n_nationkey + 1) % 25 AS BIGINT) AS dst",
+    )
+    return tree_edges(spark, sf_dir).unionByName(ring)
+
+
+_TREE_RING_EDGES_SQL = f"""(
+  SELECT src, dst FROM {_TREE_EDGES_SQL} tre
+  UNION ALL
+  SELECT (100 + n_nationkey)::BIGINT, (100 + (n_nationkey + 1) % 25)::BIGINT
+  FROM nation
+)"""
+
+
+def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9c on the driver gate: full core decomposition of the tree+ring
+    graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
+    [v ∈ k-core] (core_number(v) = max k with v in the k-core)."""
+    from .operators.kcore import core_numbers
+
+    return core_numbers(spark, tree_ring_edges(spark, sf_dir)).cores
+
+
+def q_neighborhood_function_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7d' on the driver gate: the neighborhood function N(r), r = 0..3,
+    over the symmetrized tree graph — the Σ_v |ball(v, r)| fold behind
+    effective-diameter estimation. Oracle: chained-CTE ball expansion with
+    one COUNT per radius."""
+    from .operators.neighborhood import neighborhood_function
+
+    e0 = tree_edges(spark, sf_dir)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return neighborhood_function(spark, sym, 3)
+
+
 def q_reciprocity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5g on the driver gate: reciprocity over the copart graph oriented
     src<dst with the (src+dst) % 3 == 0 subset reciprocated — per-vertex
@@ -1094,6 +1137,87 @@ def _neighborhood_sql(edge_sql: str, radius: int) -> str:
     )
 
 
+def _core_numbers_sql(edge_sql: str, max_k: int, rounds: int) -> str:
+    """Per-k chained-CTE peel replays: m{k} = vertices of the k-core
+    (k = 2..max_k, each peeled ``rounds`` rounds from the previous k-core —
+    extra rounds are no-ops since each k-core is unique), then
+    core(v) = 1 + Σ_k [v ∈ m{k}]. Canonicalizes to unordered distinct
+    pairs first, mirroring canonical_undirected."""
+    parts = [
+        f"WITH base AS MATERIALIZED (SELECT DISTINCT"
+        f" LEAST(src, dst) AS src, GREATEST(src, dst) AS dst"
+        f" FROM {edge_sql} q WHERE src <> dst)",
+        "e2_0 AS MATERIALIZED (SELECT src, dst FROM base)",
+    ]
+    members = []
+    for k in range(2, max_k + 1):
+        if k > 2:
+            parts.append(
+                f"e{k}_0 AS MATERIALIZED"
+                f" (SELECT src, dst FROM e{k - 1}_{rounds})"
+            )
+        for i in range(1, rounds + 1):
+            p = i - 1
+            parts.append(
+                f"d{k}_{i} AS MATERIALIZED (SELECT vertex, COUNT(*) AS deg"
+                f" FROM (SELECT src AS vertex FROM e{k}_{p}"
+                f" UNION ALL SELECT dst FROM e{k}_{p}) GROUP BY vertex)"
+            )
+            parts.append(
+                f"k{k}_{i} AS MATERIALIZED"
+                f" (SELECT vertex FROM d{k}_{i} WHERE deg >= {k})"
+            )
+            parts.append(
+                f"e{k}_{i} AS MATERIALIZED (SELECT src, dst FROM e{k}_{p}"
+                f" WHERE src IN (SELECT vertex FROM k{k}_{i})"
+                f" AND dst IN (SELECT vertex FROM k{k}_{i}))"
+            )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT DISTINCT vertex FROM"
+            f" (SELECT src AS vertex FROM e{k}_{rounds}"
+            f" UNION ALL SELECT dst FROM e{k}_{rounds}))"
+        )
+        members.append(
+            f"CASE WHEN v.vertex IN (SELECT vertex FROM m{k})"
+            f" THEN 1 ELSE 0 END"
+        )
+    parts.append(
+        "v AS MATERIALIZED (SELECT DISTINCT vertex FROM"
+        " (SELECT src AS vertex FROM base UNION ALL SELECT dst FROM base))"
+    )
+    body = ",\n".join(parts)
+    total = " + ".join(members)
+    return (
+        f"{body}\nSELECT v.vertex, (1 + {total})::BIGINT AS core FROM v"
+    )
+
+
+def _neighborhood_function_sql(edge_sql: str, radius: int) -> str:
+    """Chained-CTE ball expansion (same chain as _neighborhood_sql) with
+    one COUNT per radius, unioned into (r, n_pairs) rows."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED {edge_sql}",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT DISTINCT vertex FROM"
+        " (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))",
+        "b0 AS MATERIALIZED (SELECT vertex, vertex AS member FROM v)",
+    ]
+    for i in range(1, radius + 1):
+        p = i - 1
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT vertex, member FROM ("
+            f"SELECT e.src AS vertex, b.member FROM e"
+            f" JOIN b{p} b ON b.vertex = e.dst"
+            f" UNION ALL SELECT vertex, member FROM b{p}))"
+        )
+    body = ",\n".join(parts)
+    counts = "\nUNION ALL ".join(
+        f"SELECT {r}::INT AS r, COUNT(*)::BIGINT AS n_pairs FROM b{r}"
+        for r in range(radius + 1)
+    )
+    return f"{body}\n{counts}"
+
+
 _RECIPROCITY_PARTS_SQL = f"""WITH und AS MATERIALIZED {_COPART_EDGES_SQL},
 e AS MATERIALIZED (
   SELECT src, dst FROM und
@@ -1172,6 +1296,14 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
             2,
         ),
         "reciprocity_parts": _RECIPROCITY_PARTS_SQL,
+        # 5 peel rounds per k-level >= the tree+ring fixpoint depths (<= 3
+        # measured); m5 is empty (max core 3) -- margin on both
+        "core_numbers_ring": _core_numbers_sql(_TREE_RING_EDGES_SQL, 5, 5),
+        "neighborhood_function_r3": _neighborhood_function_sql(
+            f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
+            f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
+            3,
+        ),
         "lpa_tree": _lpa_sql(3),
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
@@ -1368,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "neighborhood_r2": q_neighborhood_r2,
         "reciprocity_parts": q_reciprocity_parts,
+        "core_numbers_ring": q_core_numbers_ring,
+        "neighborhood_function_r3": q_neighborhood_function_r3,
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
         "triangle_total_copart": q_triangle_total_copart,

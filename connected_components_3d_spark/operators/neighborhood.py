@@ -29,6 +29,8 @@ estimate rounded to a long.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +78,166 @@ def neighborhood_exact(
         F.col("vertex").cast("long").alias("vertex"),
         F.col("ball_count").cast("long").alias("ball_count"),
     )
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_radius: int,
+    *,
+    method: str = "exact",
+    lgk: int = 12,
+) -> DataFrame:
+    """The neighborhood function N(r) = Σ_v |ball(v, r)| for r = 0..max_radius
+    — the number of (source, destination) pairs within distance ≤ r, the
+    statistic behind average-distance / effective-diameter analyses
+    ("four degrees of separation").
+
+    ``method='exact'`` folds the DISTINCT-pair ball expansion (the oracle
+    path, chained-CTE replayable → driver gate row
+    ``neighborhood_function_r3``); ``method='hyperball'`` folds per-round
+    HLL estimates (the scale path, vertex-sized state). One scalar action
+    per radius either way.
+
+    Output: ``(r:int, n_pairs:long)`` — max_radius+1 rows.
+    """
+    if max_radius < 0:
+        raise ValueError("neighborhood_function: max_radius must be >= 0")
+    if method not in ("exact", "hyperball"):
+        raise ValueError(f"neighborhood_function: unknown method {method!r}")
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = _simple_edges(edges, p)
+    counts: list[tuple[int, int]] = []
+    if method == "exact":
+        ball = vertices(e).select("vertex", F.col("vertex").alias("member"))
+        ball = ball.localCheckpoint(eager=True)
+        counts.append((0, ball.count()))
+        for r in range(1, max_radius + 1):
+            grown = (
+                e.join(ball.withColumnRenamed("vertex", "dst"), "dst")
+                .select(F.col("src").alias("vertex"), "member")
+                .unionAll(ball)
+                .distinct()
+            )
+            ball = grown.localCheckpoint(eager=True)
+            counts.append((r, ball.count()))
+    else:
+        sk = (
+            vertices(e)
+            .groupBy("vertex")
+            .agg(F.hll_sketch_agg("vertex", F.lit(lgk)).alias("sketch"))
+            .localCheckpoint(eager=True)
+        )
+        est = F.round(F.hll_sketch_estimate("sketch")).cast("long")
+        counts.append(
+            (0, sk.agg(F.sum(est).alias("s")).collect()[0]["s"] or 0)
+        )
+        for r in range(1, max_radius + 1):
+            contrib = e.join(
+                sk.withColumnRenamed("vertex", "dst"), "dst"
+            ).select(F.col("src").alias("vertex"), "sketch")
+            sk = (
+                sk.unionAll(contrib)
+                .groupBy("vertex")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+                .localCheckpoint(eager=True)
+            )
+            counts.append(
+                (r, sk.agg(F.sum(est).alias("s")).collect()[0]["s"] or 0)
+            )
+    e.unpersist()
+    return spark.createDataFrame(
+        [(int(r), int(n)) for r, n in counts], "r int, n_pairs long"
+    )
+
+
+@dataclass
+class EffectiveDiameterResult:
+    effective_diameter: float
+    alpha: float
+    nf: list[tuple[int, int]]  # [(r, N(r))], r = 0..R at convergence
+    converged: bool  # True iff N(r) stabilized before max_radius
+    metrics: list[dict] = field(default_factory=list)
+
+
+def effective_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    alpha: float = 0.9,
+    max_radius: int = 128,
+    method: str = "exact",
+    lgk: int = 12,
+) -> EffectiveDiameterResult:
+    """Effective diameter at quantile ``alpha`` (standard HyperBall /
+    Boldi–Rosa–Vigna definition): the interpolated r at which the
+    neighborhood function first reaches alpha · N(∞), where N(∞) is N(r) at
+    the expansion fixpoint (N stops growing — for 'exact' an exact test;
+    for 'hyperball' the HLL estimates are monotone under register-max union
+    so the same test holds on the estimates).
+
+    Runs the same fold as ``neighborhood_function`` but stops as soon as
+    N(r) stabilizes, then interpolates driver-side over the (tiny) N(r)
+    sequence: eff_diam = (r-1) + (alpha·N∞ − N(r-1)) / (N(r) − N(r-1)).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("effective_diameter: alpha must be in (0, 1]")
+    if method not in ("exact", "hyperball"):
+        raise ValueError(f"effective_diameter: unknown method {method!r}")
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = _simple_edges(edges, p)
+    nf: list[tuple[int, int]] = []
+    converged = False
+    if method == "exact":
+        state = vertices(e).select("vertex", F.col("vertex").alias("member"))
+        state = state.localCheckpoint(eager=True)
+        nf.append((0, state.count()))
+        for r in range(1, max_radius + 1):
+            grown = (
+                e.join(state.withColumnRenamed("vertex", "dst"), "dst")
+                .select(F.col("src").alias("vertex"), "member")
+                .unionAll(state)
+                .distinct()
+            )
+            state = grown.localCheckpoint(eager=True)
+            nf.append((r, state.count()))
+            if nf[-1][1] == nf[-2][1]:
+                converged = True
+                break
+    else:
+        sk = (
+            vertices(e)
+            .groupBy("vertex")
+            .agg(F.hll_sketch_agg("vertex", F.lit(lgk)).alias("sketch"))
+            .localCheckpoint(eager=True)
+        )
+        est = F.round(F.hll_sketch_estimate("sketch")).cast("long")
+        nf.append((0, sk.agg(F.sum(est).alias("s")).collect()[0]["s"] or 0))
+        for r in range(1, max_radius + 1):
+            contrib = e.join(
+                sk.withColumnRenamed("vertex", "dst"), "dst"
+            ).select(F.col("src").alias("vertex"), "sketch")
+            sk = (
+                sk.unionAll(contrib)
+                .groupBy("vertex")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+                .localCheckpoint(eager=True)
+            )
+            nf.append((r, sk.agg(F.sum(est).alias("s")).collect()[0]["s"] or 0))
+            if nf[-1][1] == nf[-2][1]:
+                converged = True
+                break
+    e.unpersist()
+    target = alpha * nf[-1][1]
+    if nf[0][1] >= target:
+        eff = 0.0
+    else:
+        eff = float(nf[-1][0])
+        for (r0, n0), (_r1, n1) in zip(nf, nf[1:]):
+            if n1 >= target:
+                eff = r0 + (target - n0) / (n1 - n0)
+                break
+    return EffectiveDiameterResult(eff, alpha, nf, converged)
 
 
 def hyperball(

@@ -83,3 +83,52 @@ def test_k1_and_duplicates_and_self_loops(spark):
 def test_negative_k_raises(spark):
     with pytest.raises(ValueError):
         k_core(spark, edges_df(spark, [(1, 2)]), -1)
+
+
+def test_core_numbers_random(spark):
+    from connected_components_3d_spark.operators.kcore import core_numbers
+
+    g = nx.gnp_random_graph(250, 0.02, seed=9)
+    pairs = [e for e in g.edges()]
+    res = core_numbers(spark, edges_df(spark, pairs))
+    got = {r["vertex"]: r["core"] for r in res.cores.collect()}
+    ref = nx.core_number(nx.Graph(pairs))
+    assert got == ref
+    assert res.converged
+    assert res.max_core == max(ref.values())
+
+
+def test_core_numbers_star_center_isolated_remainder(spark):
+    from connected_components_3d_spark.operators.kcore import core_numbers
+
+    # star: the center survives the round that removes every leaf and is
+    # then invisible to the degree table (degree 0) — it must still be
+    # assigned core 1 via the active-vertex anti-join
+    pairs = [(0, i) for i in range(1, 6)]
+    res = core_numbers(spark, edges_df(spark, pairs))
+    got = {r["vertex"]: r["core"] for r in res.cores.collect()}
+    assert got == {v: 1 for v in range(6)}
+
+
+def test_core_numbers_mixed_structure(spark):
+    from connected_components_3d_spark.operators.kcore import core_numbers
+
+    # 5-clique (core 4) + triangle (core 2) + pendant path (core 1),
+    # bridged; duplicate and self-loop edges must be ignored
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    pairs += [(10, 11), (11, 12), (12, 10), (0, 10)]
+    pairs += [(20, 21), (21, 22), (4, 20), (4, 20), (7, 7)]
+    res = core_numbers(spark, edges_df(spark, pairs))
+    got = {r["vertex"]: r["core"] for r in res.cores.collect()}
+    ref = nx.core_number(nx.Graph((a, b) for a, b in pairs if a != b))
+    assert got == ref
+    assert res.max_core == 4
+
+
+def test_core_numbers_empty(spark):
+    from connected_components_3d_spark.operators.kcore import core_numbers
+
+    res = core_numbers(spark, edges_df(spark, []))
+    assert res.cores.count() == 0
+    assert res.cores.columns == ["vertex", "core"]
+    assert res.converged

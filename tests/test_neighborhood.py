@@ -95,3 +95,79 @@ def test_reciprocity_none_returned(spark):
         .collect()
     }
     assert got == {1: (1, 0, 0.0), 2: (1, 0, 0.0)}
+
+
+def test_neighborhood_function_matches_bfs_fold(spark):
+    from connected_components_3d_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    g = nx.gnp_random_graph(120, 0.03, seed=5, directed=True)
+    pairs = list(g.edges())
+    got = {
+        r["r"]: r["n_pairs"]
+        for r in neighborhood_function(spark, edges_df(spark, pairs), 3)
+        .collect()
+    }
+    for r in range(4):
+        assert got[r] == sum(nx_balls(pairs, r).values())
+
+
+def test_neighborhood_function_hyperball_close(spark):
+    from connected_components_3d_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    g = nx.gnp_random_graph(200, 0.02, seed=29, directed=True)
+    pairs = list(g.edges())
+    exact = {
+        r["r"]: r["n_pairs"]
+        for r in neighborhood_function(spark, edges_df(spark, pairs), 2)
+        .collect()
+    }
+    est = {
+        r["r"]: r["n_pairs"]
+        for r in neighborhood_function(
+            spark, edges_df(spark, pairs), 2, method="hyperball", lgk=12
+        ).collect()
+    }
+    for r in range(3):
+        assert abs(est[r] - exact[r]) <= 0.05 * exact[r] + 2
+
+
+def test_effective_diameter_sym_path(spark):
+    from connected_components_3d_spark.operators.neighborhood import (
+        effective_diameter,
+    )
+
+    # symmetric path on 8 vertices: diameter 7; N(r) = sum over v of
+    # |{u: d(u,v) <= r}| is exactly computable
+    n = 8
+    pairs = [(i, i + 1) for i in range(n - 1)] + [
+        (i + 1, i) for i in range(n - 1)
+    ]
+    res = effective_diameter(
+        spark, edges_df(spark, pairs), alpha=1.0, max_radius=32
+    )
+    assert res.converged
+    assert res.effective_diameter == 7.0
+    # interpolated quantile: reproduce from the operator's own N(r) fold,
+    # independently recomputed via BFS
+    ref_nf = [sum(nx_balls(pairs, r).values()) for r in range(9)]
+    assert [x[1] for x in res.nf] == ref_nf[: len(res.nf)]
+    res9 = effective_diameter(
+        spark, edges_df(spark, pairs), alpha=0.9, max_radius=32
+    )
+    target = 0.9 * ref_nf[-1]
+    r0 = max(r for r in range(9) if ref_nf[r] < target)
+    expect = r0 + (target - ref_nf[r0]) / (ref_nf[r0 + 1] - ref_nf[r0])
+    assert abs(res9.effective_diameter - expect) < 1e-9
+
+
+def test_effective_diameter_alpha_validation(spark):
+    from connected_components_3d_spark.operators.neighborhood import (
+        effective_diameter,
+    )
+
+    with pytest.raises(ValueError):
+        effective_diameter(spark, edges_df(spark, [(1, 2)]), alpha=1.5)
