@@ -192,6 +192,19 @@ def main() -> None:
         s, dq.bipartite_edges(s, d), method="blockuf").components)
     run("pagerank_bipartite", dq.q_pagerank_bipartite)
     run("hits_bipartite", dq.q_hits_bipartite)
+    run("ppr_bipartite", dq.q_ppr_bipartite)
+    run("scc_parts", dq.q_scc_parts)
+    run("kcore_bipartite", dq.q_kcore_parts)
+    run("core_numbers_ring", dq.q_core_numbers_ring)
+
+    def _hyperball_r2(s, d):
+        from connected_components_3d_spark.operators.neighborhood import (
+            hyperball,
+        )
+
+        return hyperball(s, dq.bipartite_edges(s, d), 2, lgk=12)
+
+    run("neighborhood_hyperball_r2", _hyperball_r2)
     run("lpa_tree", dq.q_lpa_tree)
     run("triangles_copart", dq.q_triangles_copart)
     run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)

@@ -102,6 +102,15 @@ def get_spark(
         builder = builder.config(
             "spark.executor.extraJavaOptions", executor_java_opts
         )
+    # forensics hook: SPARK_GRAFT_EVENTLOG_DIR=<dir> turns on event logging
+    # (scripts/analyze_eventlog.py reads the result) — used to de-confound
+    # scaling pairs (spill / GC / skew per stage), off by default
+    eventlog_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", f"file://{eventlog_dir}"
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -32,8 +32,19 @@ GATED = ["cc_median_superstep_s", "pr_median_iter_s"]
 # higher-is-better rates (north block) — e.g. the dense grid kernel's
 # voxels/sec (VERDICT r2 #7): fails when the rate drops below pinned/tol
 GATED_RATES = ["grid_voxels_per_sec"]
-# lower-is-better one-shot query walls (queries block)
-GATED_TOTALS = ["cc_synth_blockuf", "grid_cc_4m_voxels"]
+# lower-is-better one-shot query walls (queries block); the round-3/4
+# operator rows exist only in FULL bench output (kernels-only runs skip
+# them — check() skips keys absent from the run)
+GATED_TOTALS = [
+    "cc_synth_blockuf",
+    "grid_cc_4m_voxels",
+    "ppr_bipartite",
+    "scc_parts",
+    "kcore_bipartite",
+    "core_numbers_ring",
+    "neighborhood_hyperball_r2",
+    "hits_bipartite",
+]
 
 
 def load_bench(path: str | None) -> dict:
@@ -72,7 +83,11 @@ def main() -> int:
             "config": cfg,
             "medians": {k: bench["north"][k] for k in GATED},
             "rates": {k: bench["north"][k] for k in GATED_RATES},
-            "totals": {k: bench["queries"][k] for k in GATED_TOTALS},
+            "totals": {
+                k: bench["queries"][k]
+                for k in GATED_TOTALS
+                if k in bench["queries"]
+            },
             "max_regression": 1.4,
         }
         with open(SNAPSHOT, "w") as f:
@@ -96,6 +111,8 @@ def main() -> int:
         for k in keys:
             if k not in pinned:
                 continue  # snapshot predates this gate row
+            if k not in source:
+                continue  # kernels-only run: full-bench rows absent
             want, got = pinned[k], source[k]
             ok = got >= want / tol if higher_better else got <= want * tol
             if not ok:

@@ -64,6 +64,14 @@ def run_bench(
     tag = (master or f"local[{cpus}]").replace("[", "_").replace("]", "").replace(
         ",", "_"
     )
+    # forensics: SPARK_GRAFT_EVENTLOG_BASE=<dir> gives each SIDE of a pair
+    # its own event-log dir (<dir>/<tag>_c<cpus>) so analyze_eventlog.py can
+    # attribute spill/GC/skew per side without app-id archaeology
+    evt_base = env.get("SPARK_GRAFT_EVENTLOG_BASE")
+    if evt_base:
+        env["SPARK_GRAFT_EVENTLOG_DIR"] = os.path.join(
+            evt_base, f"{tag}_c{cpus}"
+        )
     if "--reuse" in sys.argv and os.path.exists(f"/tmp/bench_{tag}_c{cpus}.json"):
         with open(f"/tmp/bench_{tag}_c{cpus}.json") as f:
             return json.load(f)
