@@ -94,39 +94,6 @@ def main() -> None:
         _ = pr.ranks.count()
         queries["pagerank_pages"] = t
 
-    # -- grid path (the reference's own metric: voxels/sec) ----------------
-    # dense slab kernel (numpy CCL per slab + root-graph stitch); runs in
-    # kernels-only mode too so scripts/bench_check.py gates the rate
-    from connected_components_3d_spark.operators.grid import (
-        grid_components,
-        synthetic_grid,
-    )
-
-    if not KERNELS_ONLY:
-        # kept for round-over-round continuity with BENCH_r01/r02
-        gshape = (128, 128, 64)
-        gvol = synthetic_grid(spark, gshape).persist()
-        n_vox = gvol.count()
-        t, comps = timed(
-            lambda: grid_components(spark, gvol, gshape, connectivity=26)
-        )
-        queries["grid_cc_1m_voxels"] = t
-        gvol.unpersist()
-    if not NORTH_ONLY:
-        # 4M-voxel volume: the 1M row is mostly fixed per-job overhead for
-        # the dense slab kernel — the larger volume is the amortized rate the
-        # voxels/sec north metric reports (and the gated number)
-        gshape4 = (256, 256, 64)
-        gvol4 = synthetic_grid(spark, gshape4).persist()
-        n_vox4 = gvol4.count()
-        t, comps = timed_best2(
-            lambda: grid_components(spark, gvol4, gshape4, connectivity=26)
-        )
-        queries["grid_cc_4m_voxels"] = t
-        north["grid_voxels"] = n_vox4
-        north["grid_voxels_per_sec"] = round(n_vox4 / t, 1)
-        gvol4.unpersist()
-
     # -- north-metric kernels on a larger synthetic edge table -------------
     # BASELINE.json:2 names "CC hash-min + PageRank iteration" edges/sec;
     # measured on a native-generated skewed graph (70% of edges target a 5%
@@ -166,12 +133,6 @@ def main() -> None:
     north["cc_median_superstep_s"] = round(cc_med, 3)
     north["cc_edges_per_sec_per_superstep"] = round(2 * n_synth / cc_med, 1)
 
-    if not NORTH_ONLY:
-        t, res = timed_best2(
-            lambda: connected_components(spark, synth, method="blockuf")
-        )
-        queries["cc_synth_blockuf"] = t
-
     t, pr = timed(lambda: pagerank(spark, synth, fixed_iters=5))
     _ = pr.ranks.count()
     queries["pagerank_synth"] = t
@@ -179,6 +140,50 @@ def main() -> None:
     pr_med = median([m["wall_s"] for m in pr.metrics]) if pr.metrics else t
     north["pr_median_iter_s"] = round(pr_med, 3)
     north["pr_edges_per_sec_per_iter"] = round(n_synth / pr_med, 1)
+
+    if not NORTH_ONLY:
+        # AFTER the graded medians: blockuf and the grid kernels cross the
+        # Arrow boundary (mapInPandas) — running them first leaves 32
+        # resident python workers + a fragmented heap that reads as a
+        # +10-15% PR-iteration artifact (round-4 interleaved A/B vs the
+        # round-2 pin, BENCH.md §3)
+        t, res = timed_best2(
+            lambda: connected_components(spark, synth, method="blockuf")
+        )
+        queries["cc_synth_blockuf"] = t
+
+    # -- grid path (the reference's own metric: voxels/sec) ----------------
+    # dense slab kernel (numpy CCL per slab + root-graph stitch); runs in
+    # kernels-only mode too so scripts/bench_check.py gates the rate
+    from connected_components_3d_spark.operators.grid import (
+        grid_components,
+        synthetic_grid,
+    )
+
+    if not KERNELS_ONLY:
+        # kept for round-over-round continuity with BENCH_r01/r02
+        gshape = (128, 128, 64)
+        gvol = synthetic_grid(spark, gshape).persist()
+        n_vox = gvol.count()
+        t, comps = timed(
+            lambda: grid_components(spark, gvol, gshape, connectivity=26)
+        )
+        queries["grid_cc_1m_voxels"] = t
+        gvol.unpersist()
+    if not NORTH_ONLY:
+        # 4M-voxel volume: the 1M row is mostly fixed per-job overhead for
+        # the dense slab kernel — the larger volume is the amortized rate the
+        # voxels/sec north metric reports (and the gated number)
+        gshape4 = (256, 256, 64)
+        gvol4 = synthetic_grid(spark, gshape4).persist()
+        n_vox4 = gvol4.count()
+        t, comps = timed_best2(
+            lambda: grid_components(spark, gvol4, gshape4, connectivity=26)
+        )
+        queries["grid_cc_4m_voxels"] = t
+        north["grid_voxels"] = n_vox4
+        north["grid_voxels_per_sec"] = round(n_vox4 / t, 1)
+        gvol4.unpersist()
 
     # -- driver-table suite at SF_DIR --------------------------------------
     def run(name, fn):
@@ -205,6 +210,19 @@ def main() -> None:
         return hyperball(s, dq.bipartite_edges(s, d), 2, lgk=12)
 
     run("neighborhood_hyperball_r2", _hyperball_r2)
+
+    def _harmonic_hb(s, d):
+        from connected_components_3d_spark.operators.centrality import (
+            distance_centralities,
+        )
+
+        res = distance_centralities(
+            s, dq.bipartite_edges(s, d), direction="in",
+            method="hyperball", fixed_radius=3, lgk=12,
+        )
+        return res.scores
+
+    run("harmonic_hyperball_r3", _harmonic_hb)
     run("lpa_tree", dq.q_lpa_tree)
     run("triangles_copart", dq.q_triangles_copart)
     run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)

@@ -384,6 +384,28 @@ def q_neighborhood_function_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighborhood_function(spark, sym, 3)
 
 
+def q_harmonic_tree_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7e on the driver gate: harmonic + closeness centrality truncated at
+    radius 3 over the symmetrized tree graph (exact ball-expansion path,
+    direction='in'). Oracle: chained-CTE ball expansion with per-radius
+    per-vertex counts; harmonic = Σ_r (c_r − c_{r−1})/r written in the same
+    left-to-right IEEE addition order as the operator's accumulator."""
+    from .operators.centrality import distance_centralities
+
+    e0 = tree_edges(spark, sf_dir)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    res = distance_centralities(spark, sym, direction="in", fixed_radius=3)
+    return res.scores.select(
+        "vertex",
+        "reachable",
+        "dist_sum",
+        F.round("harmonic", 8).alias("harmonic"),
+        F.round("closeness", 8).alias("closeness"),
+    )
+
+
 def q_reciprocity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5g on the driver gate: reciprocity over the copart graph oriented
     src<dst with the (src+dst) % 3 == 0 subset reciprocated — per-vertex
@@ -1218,6 +1240,56 @@ def _neighborhood_function_sql(edge_sql: str, radius: int) -> str:
     return f"{body}\n{counts}"
 
 
+def _harmonic_sql(edge_sql: str, radius: int) -> str:
+    """Chained-CTE ball expansion with per-radius per-vertex counts folded
+    into harmonic / dist_sum / closeness. The edge set is TRANSPOSED first
+    (direction='in'); divisions and additions are written in the operator's
+    accumulation order so the doubles match bit-for-bit before ROUND."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED {edge_sql}",
+        "e AS MATERIALIZED"
+        " (SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT DISTINCT vertex FROM"
+        " (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))",
+        "b0 AS MATERIALIZED (SELECT vertex, vertex AS member FROM v)",
+        "c0 AS (SELECT vertex, COUNT(*)::BIGINT AS c FROM b0 GROUP BY vertex)",
+    ]
+    for i in range(1, radius + 1):
+        p = i - 1
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT DISTINCT vertex, member FROM ("
+            f"SELECT e.src AS vertex, b.member FROM e"
+            f" JOIN b{p} b ON b.vertex = e.dst"
+            f" UNION ALL SELECT vertex, member FROM b{p}))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT vertex, COUNT(*)::BIGINT AS c"
+            f" FROM b{i} GROUP BY vertex)"
+        )
+    body = ",\n".join(parts)
+    harm = " + ".join(
+        f"(c{r}.c - c{r - 1}.c)::DOUBLE / {float(r)}"
+        for r in range(1, radius + 1)
+    )
+    dsum = " + ".join(
+        f"{r} * (c{r}.c - c{r - 1}.c)" for r in range(1, radius + 1)
+    )
+    joins = "\n".join(
+        f"JOIN c{r} ON c{r}.vertex = c0.vertex" for r in range(1, radius + 1)
+    )
+    last = f"c{radius}"
+    return f"""{body}
+SELECT c0.vertex,
+  {last}.c AS reachable,
+  ({dsum})::BIGINT AS dist_sum,
+  ROUND(0.0 + {harm}, 8) AS harmonic,
+  ROUND(CASE WHEN ({dsum}) > 0
+        THEN ({last}.c - 1)::DOUBLE / ({dsum})
+        ELSE 0.0 END, 8) AS closeness
+FROM c0
+{joins}"""
+
+
 _RECIPROCITY_PARTS_SQL = f"""WITH und AS MATERIALIZED {_COPART_EDGES_SQL},
 e AS MATERIALIZED (
   SELECT src, dst FROM und
@@ -1300,6 +1372,11 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         # measured); m5 is empty (max core 3) -- margin on both
         "core_numbers_ring": _core_numbers_sql(_TREE_RING_EDGES_SQL, 5, 5),
         "neighborhood_function_r3": _neighborhood_function_sql(
+            f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
+            f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
+            3,
+        ),
+        "harmonic_tree_r3": _harmonic_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
             3,
@@ -1502,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_parts": q_reciprocity_parts,
         "core_numbers_ring": q_core_numbers_ring,
         "neighborhood_function_r3": q_neighborhood_function_r3,
+        "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
         "triangle_total_copart": q_triangle_total_copart,

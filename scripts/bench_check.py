@@ -43,6 +43,7 @@ GATED_TOTALS = [
     "kcore_bipartite",
     "core_numbers_ring",
     "neighborhood_hyperball_r2",
+    "harmonic_hyperball_r3",
     "hits_bipartite",
 ]
 
