@@ -417,6 +417,77 @@ def q_reciprocity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(spark, und.unionByName(back))
 
 
+def bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC fixture + six constant decoration edges so ALL SIX bowtie
+    regions are populated at gate scale (verified vs networkx at sf0.001
+    and sf0.01): 200011→200010→1 gives a depth-2 IN chain into the core
+    ring {1..5}; 200010→200020→6 opens a core-bypassing TUBE through
+    200020 into the OUT side; 200030 (reachable from IN, reaching
+    nothing) and 200040 (reaching only OUT) are TENDRILs; custkey rings
+    not reachable from the core ring stay DISCONNECTED."""
+    deco = spark.createDataFrame(
+        [
+            (200011, 200010),
+            (200010, 1),
+            (200010, 200020),
+            (200020, 6),
+            (200010, 200030),
+            (200040, 7),
+        ],
+        "src long, dst long",
+    )
+    return scc_edges(spark, sf_dir).unionByName(deco)
+
+
+def q_bowtie_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6c on the driver gate: Broder bowtie decomposition of the decorated
+    SCC fixture — all six regions (CORE/IN/OUT/TUBE/TENDRIL/DISCONNECTED)
+    populated. Oracle: recursive-CTE reachability closure (reach, mutual
+    SCC, forward/backward sweeps, symmetrized weak closure), hash-exact."""
+    from .operators.bowtie import bowtie
+
+    return bowtie(spark, bowtie_edges(spark, sf_dir)).regions
+
+
+def _order_page_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic page URLs over orders — mixed case, port,
+    userinfo, trailing dot decorate the SAME logical hosts so host parsing
+    is load-bearing; src/dst host ids collide (mod 37) so intra-host edges
+    exist and drop_intra is exercised."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(
+            F.lit("https://H"),
+            (F.col("o_custkey") % 37).cast("string"),
+            F.lit(".Example.COM:8080/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://user@h"),
+            (F.col("o_orderkey") % 37).cast("string"),
+            F.lit(".example.com./p/"),
+            (F.col("o_orderkey") % 97).cast("string"),
+        ).alias("dst_url"),
+    )
+
+
+def q_host_graph_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 on the driver gate: host-graph projection (page URLs → weighted
+    host edges), all native expressions. Oracle: the same regexp + groupBy
+    replayed in DuckDB (Java regex and RE2 agree on the host pattern)."""
+    from .operators.hostgraph import host_graph
+
+    return host_graph(_order_page_urls(spark, sf_dir))
+
+
+def q_host_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16b: per-host link profile (out_links, distinct out_hosts,
+    intra-host fraction) over the same synthetic page edges."""
+    from .operators.hostgraph import host_link_stats
+
+    return host_link_stats(_order_page_urls(spark, sf_dir))
+
+
 def q_triangles_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.triangles_per_edge(copart_edges(spark, sf_dir))
 
@@ -1103,6 +1174,122 @@ SELECT vv.vertex, LEAST(vv.vertex, COALESCE(c.mw, vv.vertex)) AS component
 FROM v vv LEFT JOIN comp c ON c.v = vv.vertex"""
 
 
+# bowtie fixture: SCC fixture + the six decoration edges of bowtie_edges()
+_BOWTIE_EDGES_SQL = f"""(
+  SELECT src, dst FROM {_SCC_EDGES_SQL} t
+  UNION ALL
+  SELECT * FROM (VALUES
+    (200011::BIGINT, 200010::BIGINT), (200010::BIGINT, 1::BIGINT),
+    (200010::BIGINT, 200020::BIGINT), (200020::BIGINT, 6::BIGINT),
+    (200010::BIGINT, 200030::BIGINT), (200040::BIGINT, 7::BIGINT)
+  ) t2(src, dst)
+)"""
+
+# Recursive-CTE replay of operators/bowtie.py: full reachability closure,
+# mutual-reachability SCC → largest (min-id tiebreak) = CORE, forward /
+# backward sweeps for OUT / IN, IN-forward ∩ OUT-backward minus settled =
+# TUBE, symmetrized closure from CORE = weak component (TENDRIL residue),
+# everything else DISCONNECTED. O(V·V_reach) — oracle-scale only.
+_BOWTIE_PARTS_SQL = f"""WITH RECURSIVE e0 AS MATERIALIZED {_BOWTIE_EDGES_SQL},
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+v AS MATERIALIZED (SELECT DISTINCT vertex FROM
+  (SELECT src AS vertex FROM e0 UNION ALL SELECT dst FROM e0)),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst AND r.src <> e.dst
+),
+mutual AS MATERIALIZED (SELECT r1.src AS v, r1.dst AS w FROM reach r1
+  JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src),
+comp AS MATERIALIZED (
+  SELECT vv.vertex, LEAST(vv.vertex, COALESCE(c.mw, vv.vertex)) AS component
+  FROM v vv LEFT JOIN (SELECT v AS vx, MIN(w) AS mw FROM mutual GROUP BY v) c
+    ON c.vx = vv.vertex
+),
+core_id AS MATERIALIZED (
+  SELECT component FROM comp GROUP BY component
+  ORDER BY COUNT(*) DESC, component ASC LIMIT 1),
+corev AS MATERIALIZED (SELECT vertex FROM comp
+  WHERE component = (SELECT component FROM core_id)),
+outv AS MATERIALIZED (
+  SELECT DISTINCT r.dst AS vertex FROM reach r
+  WHERE r.src IN (SELECT vertex FROM corev)
+    AND r.dst NOT IN (SELECT vertex FROM corev)),
+inv AS MATERIALIZED (
+  SELECT DISTINCT r.src AS vertex FROM reach r
+  WHERE r.dst IN (SELECT vertex FROM corev)
+    AND r.src NOT IN (SELECT vertex FROM corev)),
+fwdin AS MATERIALIZED (
+  SELECT vertex FROM inv
+  UNION
+  SELECT DISTINCT r.dst FROM reach r
+  WHERE r.src IN (SELECT vertex FROM inv)),
+bwdout AS MATERIALIZED (
+  SELECT vertex FROM outv
+  UNION
+  SELECT DISTINCT r.src FROM reach r
+  WHERE r.dst IN (SELECT vertex FROM outv)),
+tubev AS MATERIALIZED (
+  SELECT f.vertex FROM fwdin f JOIN bwdout b ON b.vertex = f.vertex
+  WHERE f.vertex NOT IN (SELECT vertex FROM corev)
+    AND f.vertex NOT IN (SELECT vertex FROM inv)
+    AND f.vertex NOT IN (SELECT vertex FROM outv)),
+und AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+wreach(vertex) AS (
+  SELECT vertex FROM corev
+  UNION
+  SELECT u.dst FROM wreach w JOIN und u ON u.src = w.vertex
+)
+SELECT vv.vertex,
+  CASE WHEN vv.vertex IN (SELECT vertex FROM corev) THEN 'CORE'
+       WHEN vv.vertex IN (SELECT vertex FROM inv) THEN 'IN'
+       WHEN vv.vertex IN (SELECT vertex FROM outv) THEN 'OUT'
+       WHEN vv.vertex IN (SELECT vertex FROM tubev) THEN 'TUBE'
+       WHEN vv.vertex IN (SELECT vertex FROM wreach) THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM v vv"""
+
+
+# host-graph oracle: the SAME host regexp replayed in DuckDB (pattern uses
+# no backrefs/lookaround, so Java regex and RE2 agree) over the same
+# deterministic synthetic URLs as _order_page_urls().
+_HOST_RE_SQL = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]+)"
+
+_ORDER_PAGE_URLS_SQL = """(
+  SELECT
+    'https://H' || (o_custkey % 37)::VARCHAR || '.Example.COM:8080/o/'
+      || o_orderkey::VARCHAR AS src_url,
+    'http://user@h' || (o_orderkey % 37)::VARCHAR || '.example.com./p/'
+      || (o_orderkey % 97)::VARCHAR AS dst_url
+  FROM orders
+)"""
+
+_HOST_GRAPH_ORDERS_SQL = f"""WITH p AS MATERIALIZED {_ORDER_PAGE_URLS_SQL},
+g AS (SELECT
+  rtrim(lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1)), '.') AS src_host,
+  rtrim(lower(regexp_extract(dst_url, '{_HOST_RE_SQL}', 1)), '.') AS dst_host
+  FROM p)
+SELECT src_host, dst_host, COUNT(*)::BIGINT AS weight
+FROM g
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host"""
+
+_HOST_STATS_ORDERS_SQL = f"""WITH p AS MATERIALIZED {_ORDER_PAGE_URLS_SQL},
+g AS (SELECT
+  rtrim(lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1)), '.') AS src_host,
+  rtrim(lower(regexp_extract(dst_url, '{_HOST_RE_SQL}', 1)), '.') AS dst_host
+  FROM p)
+SELECT src_host AS host,
+  COUNT(*)::BIGINT AS out_links,
+  COUNT(DISTINCT CASE WHEN dst_host <> src_host THEN dst_host END)::BIGINT
+    AS out_hosts,
+  ROUND(SUM(CASE WHEN dst_host = src_host THEN 1 ELSE 0 END)::DOUBLE
+        / COUNT(*), 8) AS intra_frac
+FROM g
+WHERE src_host <> '' AND dst_host <> ''
+GROUP BY src_host"""
+
+
 def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
     """Fixed-round chained-CTE peel replay of operators/kcore.py: the k-core
     is UNIQUE, so any round budget ≥ the fixpoint depth reproduces it (extra
@@ -1359,6 +1546,9 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "hits_bipartite": _hits_sql(4),
         "ppr_bipartite": _ppr_sql(5, 0.85, 10),
         "scc_parts": _SCC_PARTS_SQL,
+        "bowtie_parts": _BOWTIE_PARTS_SQL,
+        "host_graph_orders": _HOST_GRAPH_ORDERS_SQL,
+        "host_stats_orders": _HOST_STATS_ORDERS_SQL,
         # 14 rounds ≥ the measured fixpoint depth (9 at sf0.01, 5 at
         # sf0.001) with margin; extra rounds are no-ops (unique k-core)
         "kcore_parts": _kcore_sql(_BIPARTITE_EDGES_SQL, 6, 14),
@@ -1574,6 +1764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,
         "scc_parts": q_scc_parts,
+        "bowtie_parts": q_bowtie_parts,
+        "host_graph_orders": q_host_graph_orders,
+        "host_stats_orders": q_host_stats_orders,
         "kcore_parts": q_kcore_parts,
         "neighborhood_r2": q_neighborhood_r2,
         "reciprocity_parts": q_reciprocity_parts,
