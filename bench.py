@@ -223,6 +223,9 @@ def main() -> None:
         return res.scores
 
     run("harmonic_hyperball_r3", _harmonic_hb)
+    run("host_pagerank_orders", dq.q_host_pagerank_orders)
+    run("clustering_copart", dq.q_clustering_copart)
+    run("cocitation_parts", dq.q_cocitation_parts)
     run("lpa_tree", dq.q_lpa_tree)
     run("triangles_copart", dq.q_triangles_copart)
     run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)

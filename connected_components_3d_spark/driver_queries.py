@@ -488,6 +488,56 @@ def q_host_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_stats(_order_page_urls(spark, sf_dir))
 
 
+def q_host_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7f on the driver gate: host-level PageRank — host-graph projection
+    (O16) composed with weighted PageRank, 5 fixed iterations. ``vertex``
+    is the host string. Oracle: the host-graph SQL feeding a weighted
+    chained-CTE power-iteration replay (contrib ∝ w/wout)."""
+    from .operators.wpagerank import host_pagerank
+
+    res = host_pagerank(spark, _order_page_urls(spark, sf_dir), fixed_iters=5)
+    return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
+def q_clustering_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9d on the driver gate: per-vertex local clustering coefficient over
+    the copart graph (same fixture as the triangle rows). Oracle: SQL
+    triangle enumeration (a<b<c via the src<dst edge table) + degree join."""
+    from .operators.clustering import local_clustering
+
+    return local_clustering(spark, copart_edges(spark, sf_dir))
+
+
+def q_transitivity_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9d global transitivity = 3·triangles/wedges, one row."""
+    from .operators.clustering import transitivity
+
+    return transitivity(spark, copart_edges(spark, sf_dir))
+
+
+def q_cocitation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17 on the driver gate: co-citation of parts co-ordered (bipartite
+    order→part edges), min_count=2, default hub cap. Oracle: plain-SQL
+    self-join replay with the same cap."""
+    from .operators.cocitation import cocitation
+
+    return cocitation(spark, bipartite_edges(spark, sf_dir), min_count=2)
+
+
+def q_spam_mass_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 on the driver gate: TrustRank spam mass over the bipartite graph,
+    trusted seeds = 10 smallest src vertices (same contract as
+    ppr_bipartite), 5 fixed iterations. Oracle: composition of the
+    hash-green _pagerank_sql and _ppr_sql as subqueries."""
+    from .operators.trustrank import spam_mass
+
+    e = bipartite_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("vertex")).distinct().orderBy("vertex").limit(10)
+    )
+    return spam_mass(spark, e, seeds, fixed_iters=5)
+
+
 def q_triangles_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.triangles_per_edge(copart_edges(spark, sf_dir))
 
@@ -1491,6 +1541,105 @@ SELECT od.src AS vertex, od.out_deg,
 FROM od LEFT JOIN rc ON rc.src = od.src"""
 
 
+_CLUSTERING_COPART_SQL = f"""WITH und AS MATERIALIZED {_COPART_EDGES_SQL},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM und e1 JOIN und e2 ON e2.src = e1.dst
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+tv AS MATERIALIZED (SELECT v, COUNT(*)::BIGINT AS n_tri FROM
+  (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+   UNION ALL SELECT c FROM tri) GROUP BY v),
+deg AS MATERIALIZED (SELECT vertex, COUNT(*)::BIGINT AS deg FROM
+  (SELECT src AS vertex FROM und UNION ALL SELECT dst FROM und)
+  GROUP BY vertex)
+SELECT deg.vertex, deg.deg, COALESCE(tv.n_tri, 0)::BIGINT AS n_tri,
+  ROUND(CASE WHEN deg.deg >= 2
+    THEN 2.0 * COALESCE(tv.n_tri, 0) / (deg.deg * (deg.deg - 1))
+    ELSE 0.0 END, 8) AS lcc
+FROM deg LEFT JOIN tv ON tv.v = deg.vertex"""
+
+_TRANSITIVITY_COPART_SQL = f"""WITH und AS MATERIALIZED {_COPART_EDGES_SQL},
+tri AS MATERIALIZED (
+  SELECT e1.src AS a FROM und e1 JOIN und e2 ON e2.src = e1.dst
+  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+deg AS MATERIALIZED (SELECT vertex, COUNT(*)::BIGINT AS deg FROM
+  (SELECT src AS vertex FROM und UNION ALL SELECT dst FROM und)
+  GROUP BY vertex),
+s AS (SELECT (SELECT COUNT(*) FROM tri)::BIGINT AS n_triangles,
+  (SELECT COALESCE(SUM(deg * (deg - 1) // 2), 0) FROM deg)::BIGINT
+    AS n_wedges)
+SELECT n_triangles, n_wedges,
+  ROUND(CASE WHEN n_wedges > 0
+    THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 8) AS transitivity
+FROM s"""
+
+_COCITATION_PARTS_SQL = f"""WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL},
+gen AS MATERIALIZED (SELECT src FROM e GROUP BY src
+  HAVING COUNT(*) <= 256),
+ec AS MATERIALIZED (SELECT e.src, e.dst FROM e
+  WHERE e.src IN (SELECT src FROM gen)),
+pairs AS MATERIALIZED (
+  SELECT l.dst AS a, r.dst AS b, COUNT(*)::BIGINT AS common
+  FROM ec l JOIN ec r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY l.dst, r.dst HAVING COUNT(*) >= 2),
+ind AS MATERIALIZED (SELECT dst AS v, COUNT(*)::BIGINT AS ind
+  FROM ec GROUP BY dst)
+SELECT p.a, p.b, p.common,
+  ROUND(p.common::DOUBLE / (ia.ind + ib.ind - p.common), 8) AS jaccard
+FROM pairs p JOIN ind ia ON ia.v = p.a JOIN ind ib ON ib.v = p.b"""
+
+
+def _host_pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
+    """Chained-CTE replay of operators/wpagerank.py over the host graph:
+    the O16 projection SQL builds the weighted edge table, then the
+    _pagerank_sql recurrence with out-degree replaced by out-WEIGHT
+    (contrib ∝ rank·w/wout; dangling = zero out-weight). AS MATERIALIZED
+    for the same DuckDB-1.0 re-inlining reason as _ppr_sql/_hits_sql."""
+    a = repr(alpha)
+    parts = [
+        f"WITH p AS MATERIALIZED {_ORDER_PAGE_URLS_SQL}",
+        "g AS MATERIALIZED (SELECT"
+        f" rtrim(lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1)), '.')"
+        " AS src_host,"
+        f" rtrim(lower(regexp_extract(dst_url, '{_HOST_RE_SQL}', 1)), '.')"
+        " AS dst_host FROM p)",
+        "e AS MATERIALIZED (SELECT src_host AS src, dst_host AS dst,"
+        " COUNT(*)::DOUBLE AS w FROM g"
+        " WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host"
+        " GROUP BY src_host, dst_host)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e"
+        " UNION SELECT dst FROM e)",
+        "wo AS MATERIALIZED (SELECT src AS vertex, SUM(w) AS wout"
+        " FROM e GROUP BY src)",
+        "vs AS MATERIALIZED (SELECT v.vertex, COALESCE(wo.wout, 0.0) AS wout"
+        " FROM v LEFT JOIN wo ON wo.vertex = v.vertex)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM vs)",
+        "r0 AS MATERIALIZED (SELECT vertex, wout,"
+        " 1.0/(SELECT n FROM nn) AS rank FROM vs)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS s"
+            f" FROM r{p} WHERE wout = 0.0)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            f" SUM(r.rank * e.w / r.wout) AS contrib"
+            f" FROM e JOIN r{p} r ON r.vertex = e.src WHERE r.wout > 0.0"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vs.vertex, vs.wout,"
+            f" {a}*COALESCE(c.contrib, 0.0)"
+            f" + {a}*(SELECT s FROM d{i})/(SELECT n FROM nn)"
+            f" + (1.0 - {a})/(SELECT n FROM nn) AS rank"
+            f" FROM vs LEFT JOIN c{i} c ON c.vertex = vs.vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
+
+
 def oracle_sql() -> dict[str, str]:
     tree_cc = f"SELECT vertex, component FROM {_TREE_COMP_SQL} c"
     return {
@@ -1558,6 +1707,19 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
             2,
         ),
         "reciprocity_parts": _RECIPROCITY_PARTS_SQL,
+        "clustering_copart": _CLUSTERING_COPART_SQL,
+        "transitivity_copart": _TRANSITIVITY_COPART_SQL,
+        "cocitation_parts": _COCITATION_PARTS_SQL,
+        # spam mass = composition of the two hash-green rank oracles;
+        # both sides ROUND to 8 before differencing (trustrank.py contract)
+        "spam_mass_bipartite": (
+            "SELECT pr.vertex, pr.rank, tr.rank AS trust,\n"
+            "  ROUND(CASE WHEN pr.rank > 0 THEN (pr.rank - tr.rank) / pr.rank\n"
+            "        ELSE 0.0 END, 8) AS rel_spam_mass\n"
+            f"FROM ({_pagerank_sql(5, 0.85)}) pr\n"
+            f"JOIN ({_ppr_sql(5, 0.85, 10)}) tr ON tr.vertex = pr.vertex"
+        ),
+        "host_pagerank_orders": _host_pagerank_sql(5, 0.85),
         # 5 peel rounds per k-level >= the tree+ring fixpoint depths (<= 3
         # measured); m5 is empty (max core 3) -- margin on both
         "core_numbers_ring": _core_numbers_sql(_TREE_RING_EDGES_SQL, 5, 5),
@@ -1770,6 +1932,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "neighborhood_r2": q_neighborhood_r2,
         "reciprocity_parts": q_reciprocity_parts,
+        "clustering_copart": q_clustering_copart,
+        "transitivity_copart": q_transitivity_copart,
+        "cocitation_parts": q_cocitation_parts,
+        "spam_mass_bipartite": q_spam_mass_bipartite,
+        "host_pagerank_orders": q_host_pagerank_orders,
         "core_numbers_ring": q_core_numbers_ring,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,

@@ -45,6 +45,9 @@ GATED_TOTALS = [
     "neighborhood_hyperball_r2",
     "harmonic_hyperball_r3",
     "hits_bipartite",
+    "host_pagerank_orders",
+    "clustering_copart",
+    "cocitation_parts",
 ]
 
 
