@@ -29,6 +29,8 @@ def main() -> None:
     sread = defaultdict(int)
     swrite = defaultdict(int)
     spill = defaultdict(int)
+    gc = defaultdict(int)
+    run = defaultdict(int)
     for path in files:
         if path.endswith(".zstd"):
             import io
@@ -41,7 +43,16 @@ def main() -> None:
         else:
             f = open(path)
         with f:
-            for line in f:
+            # an in-progress app's .zstd log ends mid-frame — iterate
+            # manually and treat the truncation as end-of-log
+            it = iter(f)
+            while True:
+                try:
+                    line = next(it)
+                except StopIteration:
+                    break
+                except OSError:  # "Truncated compressed stream"
+                    break
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
@@ -63,6 +74,8 @@ def main() -> None:
                     swm = tm.get("Shuffle Write Metrics") or {}
                     swrite[sid] += swm.get("Shuffle Bytes Written", 0)
                     spill[sid] += tm.get("Disk Bytes Spilled", 0)
+                    gc[sid] += tm.get("JVM GC Time", 0)
+                    run[sid] += tm.get("Executor Run Time", 0)
     rows = []
     for sid, si in stages.items():
         sub = si.get("Submission Time")
@@ -96,6 +109,15 @@ def main() -> None:
             f"{sid:>5}  {wall:6.1f}  {n:5}  {mx:5.1f}  {md:5.1f}  "
             f"{rd:7.0f}  {wr:7.0f}  {sp:8.0f}  {name}"
         )
+    tot_run_s = sum(run.values()) / 1e3
+    tot_gc_s = sum(gc.values()) / 1e3
+    print(
+        f"TOTAL  stages={len(rows)}  spill_MB={sum(spill.values()) / 2**20:.0f}"
+        f"  shRd_MB={sum(sread.values()) / 2**20:.0f}"
+        f"  shWr_MB={sum(swrite.values()) / 2**20:.0f}"
+        f"  exec_run_s={tot_run_s:.0f}  gc_s={tot_gc_s:.0f}"
+        f"  gc_frac={tot_gc_s / tot_run_s if tot_run_s else 0:.3f}"
+    )
 
 
 if __name__ == "__main__":
