@@ -538,6 +538,51 @@ def q_spam_mass_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spam_mass(spark, e, seeds, fixed_iters=5)
 
 
+def keyed_string_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'c:<custkey>' → 'n:<nation name>' string-keyed star edges — 25
+    components whose canonical (min-key) label is a customer string
+    ('c:…' < 'n:…' lexicographically), so the keyed adapter's min-key
+    relabeling is load-bearing in the hash."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(n, c.c_nationkey == n.n_nationkey).select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("n_name")).alias("dst"),
+    )
+
+
+def q_cc_keyed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 on the driver gate: string-keyed CC (dictionary-encode → gated
+    long-id kernel → min-key canonical relabel). Oracle: closed-form star
+    labels (LEAST(MIN(src), dst) per star)."""
+    from .operators.keyed import connected_components_keyed
+
+    return connected_components_keyed(
+        spark, keyed_string_edges(spark, sf_dir)
+    ).components
+
+
+def q_degree_dist_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20 on the driver gate: log2-binned total-degree histogram over the
+    bipartite graph. Bucket = binary length − 1 (integer-exact; float log2
+    floors differently across engines at powers of two)."""
+    from .operators.degree import degree_distribution
+
+    return degree_distribution(
+        spark, bipartite_edges(spark, sf_dir), direction="total"
+    )
+
+
+def q_powerlaw_alpha_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20b: discrete power-law exponent MLE (Clauset et al. eq. 3.7) over
+    total degrees ≥ 2 on the bipartite graph, one row."""
+    from .operators.degree import powerlaw_alpha
+
+    return powerlaw_alpha(
+        spark, bipartite_edges(spark, sf_dir), direction="total", d_min=2
+    )
+
+
 def q_triangles_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.triangles_per_edge(copart_edges(spark, sf_dir))
 
@@ -1589,6 +1634,44 @@ SELECT p.a, p.b, p.common,
 FROM pairs p JOIN ind ia ON ia.v = p.a JOIN ind ib ON ib.v = p.b"""
 
 
+_CC_KEYED_CUSTOMERS_SQL = """WITH e AS (
+  SELECT 'c:' || c_custkey::VARCHAR AS src, 'n:' || n_name AS dst
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+lab AS (SELECT dst, LEAST(MIN(src), dst) AS component FROM e GROUP BY dst)
+SELECT e.src AS vertex, lab.component FROM e JOIN lab ON lab.dst = e.dst
+UNION ALL
+SELECT lab.dst AS vertex, lab.component FROM lab"""
+
+_DEGREE_DIST_BIPARTITE_SQL = f"""WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL},
+od AS (SELECT src AS vertex, COUNT(*)::BIGINT AS od FROM e GROUP BY src),
+idg AS (SELECT dst AS vertex, COUNT(*)::BIGINT AS idg FROM e GROUP BY dst),
+dg AS (SELECT COALESCE(od.vertex, idg.vertex) AS vertex,
+  COALESCE(od, 0) + COALESCE(idg, 0) AS d
+  FROM od FULL OUTER JOIN idg ON od.vertex = idg.vertex),
+h AS (SELECT (CASE WHEN d > 0 THEN LENGTH(printf('%b', d)) - 1
+    ELSE -1 END)::BIGINT AS bucket,
+  MIN(d)::BIGINT AS min_deg, MAX(d)::BIGINT AS max_deg,
+  COUNT(*)::BIGINT AS n_vertices FROM dg GROUP BY 1),
+t AS (SELECT SUM(n_vertices)::DOUBLE AS tot FROM h)
+SELECT bucket, min_deg, max_deg, n_vertices,
+  ROUND(n_vertices / (SELECT tot FROM t), 8) AS frac
+FROM h"""
+
+_POWERLAW_ALPHA_BIPARTITE_SQL = f"""WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL},
+od AS (SELECT src AS vertex, COUNT(*)::BIGINT AS od FROM e GROUP BY src),
+idg AS (SELECT dst AS vertex, COUNT(*)::BIGINT AS idg FROM e GROUP BY dst),
+dg AS (SELECT COALESCE(od.vertex, idg.vertex) AS vertex,
+  COALESCE(od, 0) + COALESCE(idg, 0) AS d
+  FROM od FULL OUTER JOIN idg ON od.vertex = idg.vertex),
+tail AS (SELECT d FROM dg WHERE d >= 2),
+agg AS (SELECT COUNT(*)::BIGINT AS n_tail,
+  COALESCE(SUM(LN(d / 1.5)), 0.0) AS lsum FROM tail)
+SELECT 2::BIGINT AS d_min, n_tail,
+  ROUND(CASE WHEN n_tail > 0 AND lsum > 0
+    THEN 1.0 + n_tail / lsum ELSE 0.0 END, 8) AS alpha
+FROM agg"""
+
+
 def _host_pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
     """Chained-CTE replay of operators/wpagerank.py over the host graph:
     the O16 projection SQL builds the weighted edge table, then the
@@ -1720,6 +1803,9 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
             f"JOIN ({_ppr_sql(5, 0.85, 10)}) tr ON tr.vertex = pr.vertex"
         ),
         "host_pagerank_orders": _host_pagerank_sql(5, 0.85),
+        "cc_keyed_customers": _CC_KEYED_CUSTOMERS_SQL,
+        "degree_dist_bipartite": _DEGREE_DIST_BIPARTITE_SQL,
+        "powerlaw_alpha_bipartite": _POWERLAW_ALPHA_BIPARTITE_SQL,
         # 5 peel rounds per k-level >= the tree+ring fixpoint depths (<= 3
         # measured); m5 is empty (max core 3) -- margin on both
         "core_numbers_ring": _core_numbers_sql(_TREE_RING_EDGES_SQL, 5, 5),
@@ -1937,6 +2023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_parts": q_cocitation_parts,
         "spam_mass_bipartite": q_spam_mass_bipartite,
         "host_pagerank_orders": q_host_pagerank_orders,
+        "cc_keyed_customers": q_cc_keyed_customers,
+        "degree_dist_bipartite": q_degree_dist_bipartite,
+        "powerlaw_alpha_bipartite": q_powerlaw_alpha_bipartite,
         "core_numbers_ring": q_core_numbers_ring,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,

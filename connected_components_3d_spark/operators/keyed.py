@@ -1,0 +1,123 @@
+"""Keyed-vertex graph adapter — run the long-id kernels over graphs whose
+vertices are STRINGS (urls, hosts) or any other orderable type.
+
+Every iterative kernel in this engine runs on long ids (int-packing is a
+load-bearing part of their 100 TB layout — half-width shuffle keys, numpy
+block kernels). Web graphs, though, arrive keyed by url/host strings. This
+module provides the standard two-sided bridge:
+
+  1. ENCODE: build a dictionary (key ↔ dense long id) from the distinct
+     vertex set — `monotonically_increasing_id` over the distinct keys,
+     materialized ONCE (localCheckpoint) so both edge-endpoint joins see
+     the same assignment. Ids are session-arbitrary, which is fine because
+     no id ever escapes this module.
+  2. Run the gated long-id kernel unchanged.
+  3. DECODE + CANONICALIZE: map ids back to keys and re-label each
+     component by its MIN member key (one vertex-sized groupBy + two
+     broadcast-or-shuffle joins) — so the OUTPUT contract is deterministic
+     and engine-independent: (vertex:key_type, component = min key in the
+     component), regardless of which arbitrary ids the dictionary handed
+     out. That determinism is what the driver-gate hash relies on
+     (`cc_hosts_customers` row).
+
+Scale: the dictionary is vertex-sized (the same size class as the kernel's
+own per-iteration shuffles), the encode joins are plain hash joins on the
+key, and nothing here adds a per-iteration cost — encode/decode bracket the
+kernel once. At 10^12-page scale the dictionary IS large, but it shuffles
+on the key (uniform by construction for urls/hosts) and is exactly the
+structure any production web-graph system materializes anyway.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cc import connected_components
+from .edges import vertices
+
+
+@dataclass
+class KeyedCCResult:
+    components: DataFrame  # (vertex:key_type, component:key_type = min key)
+    num_supersteps: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def vertex_dictionary(edges: DataFrame) -> DataFrame:
+    """(key, vid:long) dictionary over the distinct endpoints of ``edges``
+    (columns src/dst, any orderable type). Materialized (localCheckpoint)
+    so every downstream join sees ONE consistent assignment — without it,
+    re-evaluating the monotonically_increasing_id plan per join could hand
+    the same key two different ids."""
+    keys = vertices(edges).select(F.col("vertex").alias("key"))
+    return keys.withColumn(
+        "vid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+
+
+def encode_edges(edges: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """(src:long, dst:long) edge table via two dictionary joins."""
+    d_src = dictionary.select(
+        F.col("key").alias("src"), F.col("vid").alias("_src_id")
+    )
+    d_dst = dictionary.select(
+        F.col("key").alias("dst"), F.col("vid").alias("_dst_id")
+    )
+    return (
+        edges.join(d_src, "src")
+        .join(d_dst, "dst")
+        .select(
+            F.col("_src_id").alias("src"), F.col("_dst_id").alias("dst")
+        )
+    )
+
+
+def connected_components_keyed(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    method: str = "blockuf",
+    **kwargs,
+) -> KeyedCCResult:
+    """Connected components over a string-keyed (or any orderable-keyed)
+    edge table (columns src/dst). Output: (vertex, component) in the KEY
+    domain, component = MIN member key — deterministic regardless of the
+    internal id assignment."""
+    dictionary = vertex_dictionary(edges)
+    enc = encode_edges(edges, dictionary)
+    res = connected_components(spark, enc, method=method, **kwargs)
+    dec = dictionary.select(
+        F.col("vid").alias("vertex"), F.col("key")
+    )
+    comp = res.components.join(dec, "vertex")
+    # canonical label: min member key per internal component id
+    lab = comp.groupBy("component").agg(F.min("key").alias("_comp_key"))
+    out = comp.join(lab, "component").select(
+        F.col("key").alias("vertex"),
+        F.col("_comp_key").alias("component"),
+    )
+    return KeyedCCResult(out, res.num_supersteps, res.metrics)
+
+
+def host_components(
+    spark: SparkSession,
+    page_edges: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    **kwargs,
+) -> KeyedCCResult:
+    """Host-level connected components: project page URLs to the weighted
+    host graph (operators/hostgraph.py, intra-host edges dropped) and run
+    keyed CC over the host strings."""
+    from .hostgraph import host_graph
+
+    hg = host_graph(page_edges, src_col=src_col, dst_col=dst_col)
+    return connected_components_keyed(
+        spark,
+        hg.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        **kwargs,
+    )
