@@ -304,6 +304,18 @@ def q_ppr_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
 
 
+def q_salsa_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7e on the driver gate: SALSA (degree-normalized HITS; Lempel &
+    Moran 2000) at 4 fixed iterations on the bipartite graph, hash-compared
+    against a chained-CTE DuckDB replay of the two stochastic chains."""
+    from .operators.salsa import salsa
+
+    res = salsa(spark, bipartite_edges(spark, sf_dir), fixed_iters=4)
+    return res.scores.select(
+        "vertex", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
+    )
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -1090,6 +1102,68 @@ def _hits_sql(iters: int = 4) -> str:
     )
 
 
+def _salsa_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of operators/salsa.py's fixed contract: two
+    independent degree-normalized chains (authority: back-step weighted
+    1/indeg then forward-step weighted 1/outdeg; hub: the reverse), uniform
+    starts over each chain's support set, no normalizer (both chains are
+    stochastic). Same AS MATERIALIZED + ROUND(…, 8) rationale as
+    _hits_sql."""
+    parts = [
+        f"WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL}",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED"
+        " (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM e GROUP BY src)",
+        "idg AS MATERIALIZED"
+        " (SELECT dst, COUNT(*)::DOUBLE AS indeg FROM e GROUP BY dst)",
+        "nh AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM od)",
+        "na AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM idg)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst,"
+        " 1.0/od.outdeg AS w_out, 1.0/idg.indeg AS w_in"
+        " FROM e JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst)",
+        "s0 AS MATERIALIZED (SELECT v.vertex,"
+        " CASE WHEN idg.dst IS NOT NULL THEN 1.0/(SELECT n FROM na)"
+        " ELSE 0.0 END AS auth,"
+        " CASE WHEN od.src IS NOT NULL THEN 1.0/(SELECT n FROM nh)"
+        " ELSE 0.0 END AS hub"
+        " FROM v LEFT JOIN od ON od.src = v.vertex"
+        " LEFT JOIN idg ON idg.dst = v.vertex)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT ew.src AS vertex,"
+            f" SUM(s.auth * ew.w_in) AS t"
+            f" FROM ew JOIN s{p} s ON s.vertex = ew.dst GROUP BY ew.src)"
+        )
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT ew.dst AS vertex,"
+            f" SUM(t.t * ew.w_out) AS a_raw"
+            f" FROM ew JOIN t{i} t ON t.vertex = ew.src GROUP BY ew.dst)"
+        )
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT ew.dst AS vertex,"
+            f" SUM(s.hub * ew.w_out) AS s"
+            f" FROM ew JOIN s{p} s ON s.vertex = ew.src GROUP BY ew.dst)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT ew.src AS vertex,"
+            f" SUM(u.s * ew.w_in) AS h_raw"
+            f" FROM ew JOIN u{i} u ON u.vertex = ew.dst GROUP BY ew.src)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT v.vertex,"
+            f" COALESCE(ar.a_raw, 0.0) AS auth, COALESCE(hr.h_raw, 0.0) AS hub"
+            f" FROM v LEFT JOIN ar{i} ar ON ar.vertex = v.vertex"
+            f" LEFT JOIN hr{i} hr ON hr.vertex = v.vertex)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT vertex, ROUND(auth, 8) AS auth, ROUND(hub, 8) AS hub"
+        f" FROM s{iters}"
+    )
+
+
 def _lpa_sql(iters: int = 3) -> str:
     parts = [
         f"WITH e0 AS {_TREE_EDGES_SQL}",
@@ -1776,6 +1850,7 @@ SELECT COALESCE(od.vertex, id_.vertex) AS vertex,
 FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
         "hits_bipartite": _hits_sql(4),
+        "salsa_bipartite": _salsa_sql(4),
         "ppr_bipartite": _ppr_sql(5, 0.85, 10),
         "scc_parts": _SCC_PARTS_SQL,
         "bowtie_parts": _BOWTIE_PARTS_SQL,
@@ -2011,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_bipartite": q_pagerank_bipartite,
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,
+        "salsa_bipartite": q_salsa_bipartite,
         "scc_parts": q_scc_parts,
         "bowtie_parts": q_bowtie_parts,
         "host_graph_orders": q_host_graph_orders,
