@@ -599,6 +599,15 @@ def q_triangles_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.triangles_per_edge(copart_edges(spark, sf_dir))
 
 
+def q_truss_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9c on the driver gate: 5-truss of the co-purchase graph (support
+    peel to the unique fixpoint), hash-compared against a fixed-round
+    chained-CTE DuckDB replay (6-round budget vs measured depth 3)."""
+    from .operators.truss import k_truss
+
+    return k_truss(spark, copart_edges(spark, sf_dir), 5).truss
+
+
 def q_triangle_total_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = triangles.triangle_count(copart_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -1161,6 +1170,45 @@ def _salsa_sql(iters: int = 4) -> str:
     return (
         f"{body}\nSELECT vertex, ROUND(auth, 8) AS auth, ROUND(hub, 8) AS hub"
         f" FROM s{iters}"
+    )
+
+
+def _truss_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Chained-CTE replay of operators/truss.py's support peel: per round,
+    per-edge triangle support = |N(src) ∩ N(dst)| via an adjacency wedge
+    join, then drop edges with support < k−2. ``rounds`` must be ≥ the
+    measured fixpoint depth (extra rounds are no-ops on the unique
+    converged truss; sf0.01 copart k=5 fixpoint = 3, budget 6). Same
+    AS MATERIALIZED rationale as _hits_sql."""
+    parts = [f"WITH e0 AS MATERIALIZED {edges_sql}"]
+    for r in range(rounds):
+        parts.append(
+            f"adj{r} AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM e{r}"
+            f" UNION ALL SELECT dst AS v, src AS nbr FROM e{r})"
+        )
+        parts.append(
+            f"tri{r} AS MATERIALIZED (SELECT e.src, e.dst, COUNT(*) AS s"
+            f" FROM e{r} e JOIN adj{r} n1 ON n1.v = e.src"
+            f" JOIN adj{r} n2 ON n2.v = e.dst AND n2.nbr = n1.nbr"
+            f" GROUP BY e.src, e.dst)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e"
+            f" LEFT JOIN tri{r} t ON t.src = e.src AND t.dst = e.dst"
+            f" WHERE COALESCE(t.s, 0) >= {k - 2})"
+        )
+    r = rounds
+    parts.append(
+        f"adj{r} AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM e{r}"
+        f" UNION ALL SELECT dst AS v, src AS nbr FROM e{r})"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT e.src, e.dst, COALESCE(t.s, 0)::BIGINT AS support"
+        f" FROM e{r} e LEFT JOIN (SELECT e.src, e.dst, COUNT(*) AS s"
+        f" FROM e{r} e JOIN adj{r} n1 ON n1.v = e.src"
+        f" JOIN adj{r} n2 ON n2.v = e.dst AND n2.nbr = n1.nbr"
+        f" GROUP BY e.src, e.dst) t ON t.src = e.src AND t.dst = e.dst"
     )
 
 
@@ -1895,6 +1943,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
             3,
         ),
         "lpa_tree": _lpa_sql(3),
+        "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
 cn AS (SELECT e.src, e.dst, COUNT(*)::BIGINT AS n_tri FROM und e
@@ -2107,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
+        "truss_copart": q_truss_copart,
         "triangle_total_copart": q_triangle_total_copart,
         "region_graph_brands": q_region_graph_brands,
         "contacts_brands": q_contacts_brands,
