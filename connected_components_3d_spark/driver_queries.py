@@ -608,6 +608,47 @@ def q_truss_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(spark, copart_edges(spark, sf_dir), 5).truss
 
 
+def heap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic deep-BFS fixture: the binary-heap tree over the
+    contiguous custkeys 1..n (edges k→2k, k→2k+1 while ≤ n) — depth
+    ⌈log2 n⌉ ≈ 11 at sf0.01, so a BFS actually runs a multi-level
+    frontier (the co-purchase graph is 2 hops deep end to end)."""
+    customer = load_table(spark, sf_dir, "customer")
+    n = customer.selectExpr("max(c_custkey) m").collect()[0]["m"]
+    base = customer.select(F.col("c_custkey").cast("long").alias("src"))
+    left = base.where(F.col("src") * 2 <= n).select(
+        "src", (F.col("src") * 2).alias("dst")
+    )
+    right = base.where(F.col("src") * 2 + 1 <= n).select(
+        "src", (F.col("src") * 2 + 1).alias("dst")
+    )
+    return left.unionByName(right)
+
+
+_HEAP_EDGES_SQL = """(
+  SELECT c_custkey::BIGINT AS src, (2 * c_custkey)::BIGINT AS dst FROM customer
+  WHERE 2 * c_custkey <= (SELECT MAX(c_custkey) FROM customer)
+  UNION ALL
+  SELECT c_custkey::BIGINT, (2 * c_custkey + 1)::BIGINT FROM customer
+  WHERE 2 * c_custkey + 1 <= (SELECT MAX(c_custkey) FROM customer)
+)"""
+
+
+def q_bfs_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 on the driver gate: multi-source BFS distances + nearest-seed
+    provenance over the heap-tree fixture, seeds {1, 7, 23} (subtree roots
+    at three depths → nontrivial dist AND root columns), hash-compared
+    against a fixed-round chained-CTE DuckDB replay (16-round budget vs
+    ⌈log2 1500⌉ = 11 measured levels at sf0.01)."""
+    from .operators.bfs import bfs_distances
+
+    seeds = spark.createDataFrame([(1,), (7,), (23,)], "vertex long")
+    res = bfs_distances(
+        spark, heap_edges(spark, sf_dir), seeds, direction="out"
+    )
+    return res.distances
+
+
 def q_triangle_total_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = triangles.triangle_count(copart_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -1209,6 +1250,41 @@ def _truss_sql(edges_sql: str, k: int, rounds: int) -> str:
         f" FROM e{r} e JOIN adj{r} n1 ON n1.v = e.src"
         f" JOIN adj{r} n2 ON n2.v = e.dst AND n2.nbr = n1.nbr"
         f" GROUP BY e.src, e.dst) t ON t.src = e.src AND t.dst = e.dst"
+    )
+
+
+def _bfs_sql(edges_sql: str, seeds: list[int], rounds: int) -> str:
+    """Chained-CTE replay of operators/bfs.py's level-synchronous BFS:
+    per level, candidates = frontier⋈edges with MIN(root), settle the
+    still-unreached at dist=level. ``rounds`` must be ≥ the reachability
+    fixpoint depth (extra rounds settle nothing). AS MATERIALIZED for the
+    usual DuckDB-1.0 CTE-inlining reason."""
+    seed_rows = ", ".join(f"({s})" for s in sorted(seeds))
+    parts = [
+        f"WITH e0 AS MATERIALIZED {edges_sql}",
+        f"s0 AS MATERIALIZED (SELECT v AS vertex, 0 AS dist, v AS root"
+        f" FROM (VALUES {seed_rows}) sv(v))",
+    ]
+    for r in range(1, rounds + 1):
+        prev_f = "s0" if r == 1 else f"n{r - 1}"
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT e.dst AS vertex, MIN(f.root)"
+            f" AS root FROM e0 e JOIN {prev_f} f ON f.vertex = e.src"
+            f" GROUP BY e.dst)"
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT c.vertex, {r} AS dist, c.root"
+            f" FROM c{r} c WHERE NOT EXISTS"
+            f" (SELECT 1 FROM s{r - 1} s WHERE s.vertex = c.vertex))"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT * FROM s{r - 1}"
+            f" UNION ALL SELECT * FROM n{r})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT vertex::BIGINT AS vertex, dist::BIGINT AS dist,"
+        f" root::BIGINT AS root FROM s{rounds}"
     )
 
 
@@ -1944,6 +2020,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         ),
         "lpa_tree": _lpa_sql(3),
         "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
+        "bfs_heap": _bfs_sql(_HEAP_EDGES_SQL, [1, 7, 23], 16),
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
 cn AS (SELECT e.src, e.dst, COUNT(*)::BIGINT AS n_tri FROM und e
@@ -2157,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_tree": q_lpa_tree,
         "triangles_copart": q_triangles_copart,
         "truss_copart": q_truss_copart,
+        "bfs_heap": q_bfs_heap,
         "triangle_total_copart": q_triangle_total_copart,
         "region_graph_brands": q_region_graph_brands,
         "contacts_brands": q_contacts_brands,
