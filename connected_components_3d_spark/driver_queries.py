@@ -649,6 +649,53 @@ def q_bfs_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.distances
 
 
+def q_linkpred_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22 on the driver gate: link-prediction scores (CN/Jaccard/AA/RA/PA)
+    for non-adjacent order–order / part–part pairs of the bipartite graph
+    sharing ≥ 2 neighbors; float columns rounded to 8 decimals (the
+    PageRank-family determinism contract), hash-compared against a
+    plain-SQL DuckDB replay."""
+    from .operators.linkpred import link_prediction
+
+    out = link_prediction(
+        spark, bipartite_edges(spark, sf_dir), min_common=2
+    )
+    return out.select(
+        "src",
+        "dst",
+        "cn",
+        F.round("jaccard", 8).alias("jaccard"),
+        F.round("aa", 8).alias("aa"),
+        F.round("ra", 8).alias("ra"),
+        "pa",
+    )
+
+
+_LINKPRED_BIPARTITE_SQL = f"""WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM {_BIPARTITE_EDGES_SQL} bip),
+adj AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM und
+  UNION ALL SELECT dst, src FROM und),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+hub AS MATERIALIZED (SELECT a.nbr AS w, a.v, d.deg AS wdeg
+  FROM adj a JOIN deg d ON d.v = a.nbr),
+pairs AS MATERIALIZED (
+  SELECT x.v AS src, y.v AS dst, COUNT(*) AS cn,
+         SUM(1.0::DOUBLE / LN(x.wdeg)) AS aa,
+         SUM(1.0::DOUBLE / x.wdeg) AS ra
+  FROM hub x JOIN hub y ON x.w = y.w AND x.v < y.v
+  GROUP BY x.v, y.v HAVING COUNT(*) >= 2),
+cand AS MATERIALIZED (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und e ON e.src = p.src AND e.dst = p.dst
+  WHERE e.src IS NULL)
+SELECT c.src::BIGINT AS src, c.dst::BIGINT AS dst, c.cn::BIGINT AS cn,
+       ROUND(c.cn::DOUBLE / (ds.deg + dd.deg - c.cn), 8) AS jaccard,
+       ROUND(c.aa, 8) AS aa, ROUND(c.ra, 8) AS ra,
+       (ds.deg * dd.deg)::BIGINT AS pa
+FROM cand c JOIN deg ds ON ds.v = c.src JOIN deg dd ON dd.v = c.dst"""
+
+
 def q_triangle_total_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = triangles.triangle_count(copart_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -2021,6 +2068,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "lpa_tree": _lpa_sql(3),
         "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
         "bfs_heap": _bfs_sql(_HEAP_EDGES_SQL, [1, 7, 23], 16),
+        "linkpred_bipartite": _LINKPRED_BIPARTITE_SQL,
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
 cn AS (SELECT e.src, e.dst, COUNT(*)::BIGINT AS n_tri FROM und e
@@ -2235,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_copart": q_triangles_copart,
         "truss_copart": q_truss_copart,
         "bfs_heap": q_bfs_heap,
+        "linkpred_bipartite": q_linkpred_bipartite,
         "triangle_total_copart": q_triangle_total_copart,
         "region_graph_brands": q_region_graph_brands,
         "contacts_brands": q_contacts_brands,
