@@ -696,6 +696,118 @@ SELECT c.src::BIGINT AS src, c.dst::BIGINT AS dst, c.cn::BIGINT AS cn,
 FROM cand c JOIN deg ds ON ds.v = c.src JOIN deg dd ON dd.v = c.dst"""
 
 
+def q_assortativity_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23a on the driver gate: degree assortativity of the co-purchase
+    graph (Newman r over the symmetric endpoint-degree sample), rounded
+    8dp, vs a plain-SQL DuckDB replay. The five folded sums are integer
+    aggregates, so the only float work is the final fixed expression."""
+    from .operators.assortativity import degree_assortativity
+
+    out = degree_assortativity(spark, copart_edges(spark, sf_dir))
+    return out.select(F.round("r", 8).alias("r"), "n_edges")
+
+
+_ASSORTATIVITY_COPART_SQL = f"""WITH und AS MATERIALIZED {_COPART_EDGES_SQL},
+adj AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM und
+  UNION ALL SELECT dst, src FROM und),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+s AS MATERIALIZED (SELECT dx.deg AS x, dy.deg AS y FROM adj a
+  JOIN deg dx ON dx.v = a.v JOIN deg dy ON dy.v = a.nbr)
+SELECT ROUND((SUM(x * y)::DOUBLE / COUNT(*)
+              - POW(SUM(x)::DOUBLE / COUNT(*), 2))
+             / NULLIF(SUM(x * x)::DOUBLE / COUNT(*)
+                      - POW(SUM(x)::DOUBLE / COUNT(*), 2), 0), 8) AS r,
+       (COUNT(*) // 2)::BIGINT AS n_edges
+FROM s"""
+
+
+def tree_nation_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure on the tree graph: one community per nation
+    (the nation vertex + its customers), each region a singleton — so
+    nation→region edges are cut edges and customer→nation edges internal:
+    nontrivial modularity AND conductance per community."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    regions = nation.select(
+        F.col("n_regionkey").cast("long").alias("vertex"),
+        F.col("n_regionkey").cast("long").alias("community"),
+    ).distinct()
+    nations = nation.select(
+        (F.lit(100) + F.col("n_nationkey")).cast("long").alias("vertex"),
+        (F.lit(100) + F.col("n_nationkey")).cast("long").alias("community"),
+    )
+    customers = customer.select(
+        (F.lit(1000) + F.col("c_custkey")).cast("long").alias("vertex"),
+        (F.lit(100) + F.col("c_nationkey")).cast("long").alias("community"),
+    )
+    return regions.unionByName(nations).unionByName(customers)
+
+
+_TREE_NATION_ASG_SQL = """(
+  SELECT DISTINCT n_regionkey::BIGINT AS vertex, n_regionkey::BIGINT AS community FROM nation
+  UNION ALL
+  SELECT (100 + n_nationkey)::BIGINT, (100 + n_nationkey)::BIGINT FROM nation
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT, (100 + c_nationkey)::BIGINT FROM customer
+)"""
+
+
+def q_modularity_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23b on the driver gate: per-community modularity contribution +
+    conductance of the nation-community partition over the tree graph,
+    floats rounded 8dp, vs a plain-SQL DuckDB replay."""
+    from .operators.modularity import community_metrics
+
+    out = community_metrics(
+        spark,
+        tree_edges(spark, sf_dir),
+        tree_nation_assignment(spark, sf_dir),
+    )
+    return out.select(
+        "community",
+        "n_vertices",
+        "internal_edges",
+        "degree_sum",
+        "cut_edges",
+        F.round("contribution", 8).alias("contribution"),
+        F.round("conductance", 8).alias("conductance"),
+    )
+
+
+_MODULARITY_TREE_SQL = f"""WITH e_raw AS MATERIALIZED {_TREE_EDGES_SQL},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src,
+  GREATEST(src, dst) AS dst FROM e_raw WHERE src <> dst),
+asg AS MATERIALIZED {_TREE_NATION_ASG_SQL},
+m AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS m FROM und),
+tagged AS MATERIALIZED (SELECT u.src, u.dst, s.community AS c_src,
+  d.community AS c_dst FROM und u
+  JOIN asg s ON s.vertex = u.src JOIN asg d ON d.vertex = u.dst),
+internal AS MATERIALIZED (SELECT c_src AS community, COUNT(*) AS internal_edges
+  FROM tagged WHERE c_src = c_dst GROUP BY c_src),
+cut AS MATERIALIZED (SELECT community, COUNT(*) AS cut_edges FROM (
+  SELECT c_src AS community FROM tagged WHERE c_src <> c_dst
+  UNION ALL SELECT c_dst FROM tagged WHERE c_src <> c_dst) GROUP BY community),
+adj AS MATERIALIZED (SELECT src AS v FROM und UNION ALL SELECT dst FROM und),
+deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+base AS MATERIALIZED (SELECT a.community, COUNT(*) AS n_vertices,
+  SUM(COALESCE(d.deg, 0)) AS degree_sum
+  FROM asg a LEFT JOIN deg d ON d.v = a.vertex
+  WHERE a.vertex IN (SELECT v FROM deg)
+  GROUP BY a.community)
+SELECT b.community::BIGINT AS community, b.n_vertices::BIGINT AS n_vertices,
+  COALESCE(i.internal_edges, 0)::BIGINT AS internal_edges,
+  b.degree_sum::BIGINT AS degree_sum,
+  COALESCE(c.cut_edges, 0)::BIGINT AS cut_edges,
+  ROUND(COALESCE(i.internal_edges, 0)::DOUBLE / m.m
+        - POW(b.degree_sum::DOUBLE / (2 * m.m), 2), 8) AS contribution,
+  ROUND(COALESCE(c.cut_edges, 0)::DOUBLE
+        / NULLIF(LEAST(b.degree_sum, 2 * m.m - b.degree_sum), 0), 8)
+    AS conductance
+FROM base b CROSS JOIN m
+LEFT JOIN internal i ON i.community = b.community
+LEFT JOIN cut c ON c.community = b.community"""
+
+
 def q_triangle_total_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = triangles.triangle_count(copart_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "n_triangles long")
@@ -2069,6 +2181,8 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
         "bfs_heap": _bfs_sql(_HEAP_EDGES_SQL, [1, 7, 23], 16),
         "linkpred_bipartite": _LINKPRED_BIPARTITE_SQL,
+        "assortativity_copart": _ASSORTATIVITY_COPART_SQL,
+        "modularity_tree": _MODULARITY_TREE_SQL,
         "triangles_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 adj AS (SELECT src AS v, dst AS w FROM und UNION ALL SELECT dst, src FROM und),
 cn AS (SELECT e.src, e.dst, COUNT(*)::BIGINT AS n_tri FROM und e
@@ -2284,6 +2398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_copart": q_truss_copart,
         "bfs_heap": q_bfs_heap,
         "linkpred_bipartite": q_linkpred_bipartite,
+        "assortativity_copart": q_assortativity_copart,
+        "modularity_tree": q_modularity_tree,
         "triangle_total_copart": q_triangle_total_copart,
         "region_graph_brands": q_region_graph_brands,
         "contacts_brands": q_contacts_brands,
