@@ -194,6 +194,20 @@ def connected_components(
     # plateau (hot-set size ~V/20) stays on the broadcast side rather than
     # oscillating across the gate with approx_count_distinct noise
     jump_broadcast_max_labels: int = 8_000_000,
+    # frontier row count below which the neighbor-min switches to the
+    # HALF-SCAN path: probe a persisted E-row single-orientation edge cache
+    # with the (explicitly broadcast) frontier on BOTH endpoints and explode
+    # the ≤2 candidates per edge — half the per-superstep cache-scan bytes
+    # of the symmetric 2E table. DEFAULT OFF (0): an interleaved A/B at 40M
+    # edges (scripts/probe_half_scan_ab.py, BENCH.md §2e) measured the
+    # qualifying supersteps 1.5-2x SLOWER with the path on — the one-time
+    # E-row cache build lands inside the first qualifying superstep and the
+    # hash-min frontier decays so fast (1-2 sub-gate steps out of 8) that it
+    # never amortizes, while the steady-state step is no faster at local[32].
+    # Retained (exactness-pinned by test_half_scan_path_is_exact) for graphs
+    # with a long small-frontier convergence tail, where many qualifying
+    # steps would amortize the build.
+    half_scan_max_frontier: int = 0,
 ) -> CCResult:
     """CC over a directed or undirected edge table.
 
@@ -445,6 +459,7 @@ def connected_components(
     # a broadcast, turning late supersteps into map-side joins. On resume the
     # frontier is unknown → one full-width step re-establishes it.
     frontier = labels  # (vertex, label)
+    half_edges: DataFrame | None = None  # lazily-built E-row half cache
     n_labels = labels.count()
     prev_changed: int | None = None
     # running estimate of DISTINCT label values (refreshed each superstep in
@@ -468,9 +483,65 @@ def connected_components(
         # bounds what any reducer receives (≤ one partial per map partition)
         # and no join output materializes hub-width rows.
         first_identity = identity_start and step == 0
+        # HALF-SCAN gate (opt-in, see half_scan_max_frontier above): once the
+        # frontier fits a broadcast, candidates come from ONE scan of the
+        # E-row single-orientation cache (two broadcast hash probes +
+        # explode) instead of the symmetric 2E table — exactly the same
+        # candidate multiset, half the streamed cache bytes. Built lazily
+        # from the
+        # already-persisted symmetric cache (src<dst recovers one orientation
+        # for both kernels: root_edges is min-root-first by construction;
+        # hashmin's canonical subset keeps every edge once per input
+        # occurrence — duplicates can't change a min). prop_edges stays
+        # persisted: a frontier is not guaranteed monotone-small, and the
+        # wide/salted/resume steps still need the SMJ layout.
+        use_half = (
+            not first_identity
+            and not use_salting
+            and prev_changed is not None
+            and prev_changed <= half_scan_max_frontier
+        )
+        if use_half and half_edges is None:
+            half_edges = (
+                prop_edges.where(F.col("src") < F.col("dst")).persist()
+            )
+            half_edges.count()
         if first_identity:
             nbr_min = prop_edges.groupBy(F.col("dst").alias("vertex")).agg(
                 F.min("src").alias("nbr_label")
+            )
+        elif use_half:
+            fa = frontier.select(
+                F.col("vertex").alias("_fav"), F.col("label").alias("_fal")
+            )
+            fb = frontier.select(
+                F.col("vertex").alias("_fbv"), F.col("label").alias("_fbl")
+            )
+            nbr_min = (
+                half_edges.join(
+                    F.broadcast(fa), F.col("src") == F.col("_fav"), "left"
+                )
+                .join(F.broadcast(fb), F.col("dst") == F.col("_fbv"), "left")
+                .where(
+                    F.col("_fal").isNotNull() | F.col("_fbl").isNotNull()
+                )
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("dst").alias("v"),
+                                F.col("_fal").alias("lab"),
+                            ),
+                            F.struct(
+                                F.col("src").alias("v"),
+                                F.col("_fbl").alias("lab"),
+                            ),
+                        )
+                    ).alias("c")
+                )
+                .where(F.col("c.lab").isNotNull())
+                .groupBy(F.col("c.v").alias("vertex"))
+                .agg(F.min("c.lab").alias("nbr_label"))
             )
         elif use_salting:
             from .skew import salted_min_join
@@ -652,6 +723,8 @@ def connected_components(
     if not converged:
         raise RuntimeError(f"CC did not converge within {max_iter} supersteps")
     prop_edges.unpersist()
+    if half_edges is not None:
+        half_edges.unpersist()
     if packed:
         labels = labels.select(
             F.col("vertex").cast("long").alias("vertex"),

@@ -168,3 +168,28 @@ def test_broadcast_jump_map_is_exact(spark):
     assert sorted(map(tuple, on.components.collect())) == sorted(
         map(tuple, off.components.collect())
     )
+
+
+@pytest.mark.parametrize("method", ["hashmin", "blockuf"])
+def test_half_scan_path_is_exact(spark, method):
+    """The half-scan neighbor-min (E-row single-orientation cache, frontier
+    broadcast-probed on both endpoints) must be bit-identical to the
+    symmetric-table SMJ path — gate forced on (every post-identity
+    superstep qualifies) vs forced off, on a graph whose fixpoint takes
+    several supersteps; plus duplicate/self-loop/reversed-edge hygiene."""
+    g = nx.gnp_random_graph(1200, 0.004, seed=23)
+    pairs = list(g.edges()) + [(i, i + 1) for i in range(5000, 5300)]
+    # stress the canonical-subset derivation: both orientations, dups, loops
+    pairs += [(b, a) for a, b in pairs[:50]] + [(7, 7), (5000, 5000)]
+    e = edges_df(spark, pairs)
+    on = connected_components(
+        spark, e, method=method, half_scan_max_frontier=10_000_000
+    )
+    off = connected_components(
+        spark, e, method=method, half_scan_max_frontier=0
+    )
+    assert sorted(map(tuple, on.components.collect())) == sorted(
+        map(tuple, off.components.collect())
+    )
+    got = classes_of(on.components.collect())
+    assert got == nx_classes(pairs)
