@@ -47,6 +47,7 @@ from .functions.text import (
 from .operators import dedup, similarity, stats, triangles
 from .operators.cc import connected_components, num_components
 from .operators.edges import degrees
+from .operators.eigenvector import eigenvector_centrality
 from .operators.hits import hits
 from .operators.kcore import k_core
 from .operators.lpa import label_propagation
@@ -54,6 +55,8 @@ from .operators.neighborhood import neighborhood_exact
 from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
 from .operators.reciprocity import reciprocity
+from .operators.condense import condense
+from .operators.walks import random_walks
 from .operators.scc import strongly_connected_components
 from .sources.tables import load_table
 
@@ -314,6 +317,40 @@ def q_salsa_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.scores.select(
         "vertex", F.round("auth", 8).alias("auth"), F.round("hub", 8).alias("hub")
     )
+
+
+def q_eigenvector_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7h on the driver gate: eigenvector centrality (Bonacich power
+    iteration with the +I shift, networkx's published recurrence) at 4
+    fixed iterations on the bipartite graph, hash-compared against a
+    chained-CTE DuckDB replay of the shifted power step + L2 normalizer."""
+    res = eigenvector_centrality(
+        spark, bipartite_edges(spark, sf_dir), fixed_iters=4
+    )
+    return res.scores.select("vertex", F.round("score", 8).alias("score"))
+
+
+def q_condensation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25 on the driver gate: the SCC condensation DAG of the ring/chain/
+    tendril fixture — the O6b assignment contracted by operators/condense.py
+    — hash-compared against the recursive-CTE SCC oracle composed with a
+    plain-SQL double-join contraction."""
+    e = scc_edges(spark, sf_dir)
+    comps = strongly_connected_components(spark, e).components
+    return condense(e, comps)
+
+
+def q_walks_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24 on the driver gate: deterministic random-walk corpus (length 6,
+    seed 42) over the symmetrized tree graph, hash-compared against a
+    chained-CTE DuckDB replay of the argmin-of-mix next-hop contract
+    (operators/walks.py docstring)."""
+    e = tree_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    res = random_walks(spark, sym, walk_length=6, seed=42)
+    return res.corpus
 
 
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,6 +669,53 @@ _HEAP_EDGES_SQL = """(
   SELECT c_custkey::BIGINT, (2 * c_custkey + 1)::BIGINT FROM customer
   WHERE 2 * c_custkey + 1 <= (SELECT MAX(c_custkey) FROM customer)
 )"""
+
+
+def diamond_heap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heap_edges + cross edges k→2k−2 for odd k ≥ 3 (the sibling's left
+    child): each cross edge closes an equal-length path diamond — dist is
+    unchanged (both routes have the same hop count) while sigma doubles —
+    so Brandes' path-count recurrence is actually exercised, not just the
+    level machinery (a pure tree has sigma ≡ 1)."""
+    customer = load_table(spark, sf_dir, "customer")
+    n = customer.selectExpr("max(c_custkey) m").collect()[0]["m"]
+    cross = customer.where(
+        f"c_custkey % 2 = 1 AND c_custkey >= 3 AND 2 * c_custkey - 2 <= {n}"
+    ).select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (F.col("c_custkey") * 2 - 2).cast("long").alias("dst"),
+    )
+    return heap_edges(spark, sf_dir).unionByName(cross)
+
+
+_DIAMOND_HEAP_EDGES_SQL = f"""(
+  SELECT src, dst FROM {_HEAP_EDGES_SQL} h
+  UNION ALL
+  SELECT c_custkey::BIGINT, (2 * c_custkey - 2)::BIGINT FROM customer
+  WHERE c_custkey % 2 = 1 AND c_custkey >= 3
+    AND 2 * c_custkey - 2 <= (SELECT MAX(c_custkey) FROM customer)
+)"""
+
+
+def q_betweenness_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O26 on the driver gate: batched multi-source Brandes betweenness
+    (raw partial-dependency sums, operators/betweenness.py contract) over
+    the diamond-heap fixture, sources {1, 6, 7}, hash-compared against a
+    fixed-round chained-CTE DuckDB replay (16 forward + 16 backward rounds
+    vs ⌈log2 1500⌉ = 11 measured levels at sf0.01). Values are bounded
+    (≤ ~800 at sf0.01: 3 sources × tree-descendant counts), so the
+    ROUND(…, 8) leaves ~3 orders of magnitude of headroom over the
+    ~1e-12 cross-engine SUM-reassociation error — the usual float-parity
+    rule (module docstring)."""
+    from .operators.betweenness import betweenness_centrality
+
+    sources = spark.createDataFrame([(1,), (6,), (7,)], "vertex long")
+    res = betweenness_centrality(
+        spark, diamond_heap_edges(spark, sf_dir), sources
+    )
+    return res.scores.select(
+        "vertex", F.round("betweenness", 8).alias("betweenness")
+    )
 
 
 def q_bfs_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1395,82 @@ def _hits_sql(iters: int = 4) -> str:
     )
 
 
+def _eigenvector_sql(iters: int = 4) -> str:
+    """Chained-CTE replay of operators/eigenvector.py's fixed contract:
+    x_0 uniform 1/|V|, per iteration xr = x + in-edge sum (the (I + Aᵀ)x
+    shifted power step), then x = xr / ||xr||_2. Same AS MATERIALIZED +
+    ROUND(…, 8) rationale as _hits_sql (DuckDB CTE inlining; SUM
+    reassociation)."""
+    parts = [
+        f"WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL}",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM v)",
+        "x0 AS MATERIALIZED"
+        " (SELECT vertex, 1.0/(SELECT n FROM nn) AS x FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"ins{i} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(x.x) AS s"
+            f" FROM e JOIN x{p} x ON x.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"xr{i} AS MATERIALIZED (SELECT x.vertex,"
+            f" x.x + COALESCE(i.s, 0.0) AS xr"
+            f" FROM x{p} x LEFT JOIN ins{i} i ON i.vertex = x.vertex)"
+        )
+        parts.append(
+            f"nrm{i} AS MATERIALIZED (SELECT SQRT(SUM(xr*xr)) AS nm FROM xr{i})"
+        )
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT vertex,"
+            f" xr/(SELECT nm FROM nrm{i}) AS x FROM xr{i})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT vertex, ROUND(x, 8) AS score FROM x{iters}"
+    )
+
+
+def _walks_sql(steps: int = 6, seed: int = 42) -> str:
+    """Chained-CTE replay of operators/walks.py's determinism contract over
+    the symmetrized tree graph: at step t the walk moves to the out-neighbor
+    minimizing mix(mix(mix(mix(seed, walk), t), u), 0)*M + u with
+    mix(a,b) = (a*1103515245 + b) % 2147483647 — every intermediate < 2^31
+    and every product < 2^62, so DuckDB's overflow-checked BIGINT computes
+    the identical value Spark does (the final mix(·,0) is the multiplicative
+    scramble that keeps the argmin seed-dependent; see the operator
+    docstring). Same AS MATERIALIZED rationale as _hits_sql; no floats
+    anywhere, so the hash match is exact by construction."""
+    m, a = 2147483647, 1103515245
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te))",
+        "w0 AS MATERIALIZED (SELECT vertex AS walk_id, vertex AS cur,"
+        f" ({seed}::BIGINT * {a} + vertex) % {m} AS smix"
+        " FROM (SELECT src AS vertex FROM e UNION SELECT dst FROM e))",
+    ]
+    for t in range(1, steps + 1):
+        p = t - 1
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT w.walk_id, w.smix,"
+            f" MIN(((((w.smix * {a} + {t}) % {m}) * {a} + e.dst) % {m})"
+            f" * {a} % {m} * {m} + e.dst) AS k"
+            f" FROM w{p} w JOIN e ON e.src = w.cur GROUP BY w.walk_id, w.smix)"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, k % {m} AS cur, smix"
+            f" FROM c{t})"
+        )
+    body = ",\n".join(parts)
+    selects = ["SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0"] + [
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(1, steps + 1)
+    ]
+    return f"{body}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _salsa_sql(iters: int = 4) -> str:
     """Chained-CTE replay of operators/salsa.py's fixed contract: two
     independent degree-normalized chains (authority: back-step weighted
@@ -1409,6 +1569,69 @@ def _truss_sql(edges_sql: str, k: int, rounds: int) -> str:
         f" FROM e{r} e JOIN adj{r} n1 ON n1.v = e.src"
         f" JOIN adj{r} n2 ON n2.v = e.dst AND n2.nbr = n1.nbr"
         f" GROUP BY e.src, e.dst) t ON t.src = e.src AND t.dst = e.dst"
+    )
+
+
+def _betweenness_sql(edges_sql: str, sources: list[int], rounds: int) -> str:
+    """Fixed-round chained-CTE replay of operators/betweenness.py's batched
+    Brandes contract: forward rounds build per-source (vertex, sigma)
+    levels (anti-joined against the accumulated settled set), backward
+    rounds fold delta = Σ sigma_u/sigma_w · (1+delta_w) over the
+    shortest-path DAG (join level t to level t+1 through the edge table),
+    then bc = Σ_{s≠v} delta. Rounds past the fixpoint are empty no-ops.
+    Same AS MATERIALIZED rationale as _hits_sql; ROUND(…, 8) absorbs
+    cross-engine SUM reassociation on the bounded values
+    (q_betweenness_heap docstring)."""
+    src_vals = ", ".join(f"({s}::BIGINT)" for s in sources)
+    parts = [
+        f"WITH e0 AS MATERIALIZED {edges_sql}",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        f"f0 AS MATERIALIZED (SELECT s, s AS vertex, 1.0::DOUBLE AS sigma"
+        f" FROM (VALUES {src_vals}) t(s))",
+        "st0 AS MATERIALIZED (SELECT s, vertex FROM f0)",
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT f.s, e.dst AS vertex,"
+            f" SUM(f.sigma) AS sigma"
+            f" FROM f{p} f JOIN e ON e.src = f.vertex"
+            f" LEFT JOIN st{p} st ON st.s = f.s AND st.vertex = e.dst"
+            f" WHERE st.vertex IS NULL GROUP BY f.s, e.dst)"
+        )
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT s, vertex FROM st{p}"
+            f" UNION ALL SELECT s, vertex FROM f{t})"
+        )
+    parts.append(
+        f"d{rounds} AS MATERIALIZED (SELECT s, vertex, sigma,"
+        f" 0.0::DOUBLE AS delta FROM f{rounds})"
+    )
+    for t in range(rounds - 1, -1, -1):
+        q = t + 1
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT f.s, f.vertex, f.sigma,"
+            f" COALESCE(x.d, 0.0) AS delta"
+            f" FROM f{t} f LEFT JOIN ("
+            f"SELECT f2.s, f2.vertex,"
+            f" SUM(f2.sigma / dw.sigma * (1.0 + dw.delta)) AS d"
+            f" FROM f{t} f2 JOIN e ON e.src = f2.vertex"
+            f" JOIN d{q} dw ON dw.s = f2.s AND dw.vertex = e.dst"
+            f" GROUP BY f2.s, f2.vertex"
+            f") x ON x.s = f.s AND x.vertex = f.vertex)"
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT s, vertex, delta FROM d{t}" for t in range(rounds + 1)
+    )
+    parts.append(
+        f"bc AS MATERIALIZED (SELECT vertex, SUM(delta) AS b"
+        f" FROM ({alld}) WHERE vertex <> s GROUP BY vertex)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT v.vertex, ROUND(COALESCE(bc.b, 0.0), 8) AS"
+        f" betweenness FROM v LEFT JOIN bc ON bc.vertex = v.vertex"
     )
 
 
@@ -2134,6 +2357,19 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
         "hits_bipartite": _hits_sql(4),
         "salsa_bipartite": _salsa_sql(4),
+        "eigenvector_bipartite": _eigenvector_sql(4),
+        "walks_tree": _walks_sql(6, 42),
+        # the recursive-CTE SCC oracle composed with a double-join
+        # contraction (condense.py contract: inner joins, intra-component
+        # edges dropped, multiplicity counted)
+        "condensation_parts": f"""WITH comp AS MATERIALIZED ({_SCC_PARTS_SQL}),
+ce AS MATERIALIZED {_SCC_EDGES_SQL}
+SELECT cs.component AS src_comp, cd.component AS dst_comp,
+  COUNT(*)::BIGINT AS n_edges
+FROM ce JOIN comp cs ON cs.vertex = ce.src
+JOIN comp cd ON cd.vertex = ce.dst
+WHERE cs.component <> cd.component
+GROUP BY 1, 2""",
         "ppr_bipartite": _ppr_sql(5, 0.85, 10),
         "scc_parts": _SCC_PARTS_SQL,
         "bowtie_parts": _BOWTIE_PARTS_SQL,
@@ -2180,6 +2416,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "lpa_tree": _lpa_sql(3),
         "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
         "bfs_heap": _bfs_sql(_HEAP_EDGES_SQL, [1, 7, 23], 16),
+        "betweenness_heap": _betweenness_sql(_DIAMOND_HEAP_EDGES_SQL, [1, 6, 7], 16),
         "linkpred_bipartite": _LINKPRED_BIPARTITE_SQL,
         "assortativity_copart": _ASSORTATIVITY_COPART_SQL,
         "modularity_tree": _MODULARITY_TREE_SQL,
@@ -2375,6 +2612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,
         "salsa_bipartite": q_salsa_bipartite,
+        "eigenvector_bipartite": q_eigenvector_bipartite,
+        "walks_tree": q_walks_tree,
+        "condensation_parts": q_condensation_parts,
         "scc_parts": q_scc_parts,
         "bowtie_parts": q_bowtie_parts,
         "host_graph_orders": q_host_graph_orders,
@@ -2397,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_copart": q_triangles_copart,
         "truss_copart": q_truss_copart,
         "bfs_heap": q_bfs_heap,
+        "betweenness_heap": q_betweenness_heap,
         "linkpred_bipartite": q_linkpred_bipartite,
         "assortativity_copart": q_assortativity_copart,
         "modularity_tree": q_modularity_tree,

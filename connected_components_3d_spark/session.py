@@ -111,6 +111,15 @@ def get_spark(
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", f"file://{eventlog_dir}"
         )
+    # experiment hook: SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2" injects confs
+    # through subprocess boundaries (bench_scaling.py sides) without code
+    # edits — used for A/B-ing e.g. shuffle compression codecs on a pair
+    env_extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_extra:
+        for item in env_extra.split(";"):
+            if "=" in item:
+                k, _, v = item.partition("=")
+                builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
