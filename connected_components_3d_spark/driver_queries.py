@@ -56,6 +56,9 @@ from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
 from .operators.reciprocity import reciprocity
 from .operators.condense import condense
+from .operators.incremental import incremental_components
+from .operators.matching import maximal_matching
+from .operators.sampling import neighbor_sample
 from .operators.walks import random_walks
 from .operators.scc import strongly_connected_components
 from .sources.tables import load_table
@@ -338,6 +341,55 @@ def q_condensation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = scc_edges(spark, sf_dir)
     comps = strongly_connected_components(spark, e).components
     return condense(e, comps)
+
+
+def q_cc_incremental_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28 on the driver gate: incremental CC maintenance — the canonical
+    labeling of the 5-region tree updated with a delta batch derived from
+    the region table (edges 0-1, 2-3, 3-4 merging the trees into components
+    {0, 2}, plus edge (5000+4, 4) introducing brand-new vertex 5004) — hash-
+    compared against an INDEPENDENT closed-form oracle over the merged
+    regions. Equality to a full CC run over the union is the operator's
+    correctness contract (operators/incremental.py)."""
+    base = connected_components(
+        spark, tree_edges(spark, sf_dir), method="hashmin"
+    ).components
+    region = load_table(spark, sf_dir, "region")
+    merges = region.where(F.col("r_regionkey").isin(0, 2, 3)).select(
+        F.col("r_regionkey").cast("long").alias("src"),
+        (F.col("r_regionkey") + 1).cast("long").alias("dst"),
+    )
+    newv = region.where(F.col("r_regionkey") == 4).select(
+        (F.lit(5000) + F.col("r_regionkey")).cast("long").alias("src"),
+        F.col("r_regionkey").cast("long").alias("dst"),
+    )
+    res = incremental_components(spark, base, merges.unionByName(newv))
+    return res.components
+
+
+def q_matching_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O29 on the driver gate: deterministic maximal matching (seed 42) of
+    the tree graph, hash-compared against a fixed-round chained-CTE DuckDB
+    replay of the local-min handshake (operators/matching.py contract) —
+    integer-only, exact by construction; oracle rounds past convergence are
+    empty no-ops, so the pinned round count only needs to be ≥ the actual
+    depth."""
+    res = maximal_matching(spark, tree_edges(spark, sf_dir), seed=42)
+    return res.matching
+
+
+def q_sample_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27 on the driver gate: deterministic GraphSAGE-style neighbor
+    sampling (fanouts [3, 2], seed 42) over the symmetrized tree graph,
+    hash-compared against a chained-CTE DuckDB replay of the pick-index
+    contract (operators/sampling.py docstring) — integer-only, exact by
+    construction."""
+    e = tree_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    res = neighbor_sample(spark, sym, [3, 2], seed=42)
+    return res.blocks
 
 
 def q_walks_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,6 +1523,91 @@ def _walks_sql(steps: int = 6, seed: int = 42) -> str:
     return f"{body}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _sample_sql(fanouts: list[int] = [3, 2], seed: int = 42) -> str:
+    """Chained-CTE replay of operators/sampling.py's determinism contract
+    over the symmetrized tree graph: the adjacency gets a dense per-source
+    index (ROW_NUMBER over distinct dst — total in both engines), and hop h
+    slot j of frontier vertex v picks index
+    mix(mix(mix(seed, h), v), j) % deg(v) with
+    mix(a,b) = (a*1103515245 + b) % 2147483647 — integer-only BIGINT
+    arithmetic, products < 2^62, so the hash match is exact by
+    construction. Same AS MATERIALIZED rationale as _hits_sql."""
+    m, a = 2147483647, 1103515245
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te))",
+        "adj AS MATERIALIZED (SELECT src, dst,"
+        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx"
+        " FROM e)",
+        "degs AS MATERIALIZED"
+        " (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "f0 AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e)",
+    ]
+    for h, fan in enumerate(fanouts, start=1):
+        hmix = (seed * a + h) % m
+        parts.append(
+            f"b{h} AS MATERIALIZED (SELECT DISTINCT {h} AS hop, c.src, a.dst"
+            f" FROM (SELECT f.vertex AS src,"
+            f" ((({hmix}::BIGINT * {a} + f.vertex) % {m}) * {a} + j.j)"
+            f" % {m} % d.deg AS idx"
+            f" FROM f{h - 1} f JOIN degs d ON d.src = f.vertex"
+            f" CROSS JOIN (SELECT UNNEST(range(0, {fan})) AS j) j) c"
+            f" JOIN adj a ON a.src = c.src AND a.idx = c.idx)"
+        )
+        parts.append(
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT dst AS vertex FROM b{h})"
+        )
+    body = ",\n".join(parts)
+    selects = [
+        f"SELECT hop, src, dst FROM b{h}"
+        for h in range(1, len(fanouts) + 1)
+    ]
+    return f"{body}\n" + "\nUNION ALL\n".join(selects)
+
+
+def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
+    """Fixed-round chained-CTE replay of operators/matching.py's local-min
+    handshake over the tree graph: per round, each vertex's min-priority
+    incident edge is computed with a grouped MIN, edges nominated by BOTH
+    endpoints join the matching, and their endpoints' edges are anti-joined
+    away. Rounds past convergence produce empty picks (no-ops), so
+    ``rounds`` only needs to exceed the actual depth. Integer-only BIGINT
+    arithmetic (products < 2^62) — hash match exact by construction."""
+    m, a = 2147483647, 1103515245
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "e0 AS MATERIALIZED (SELECT u, v,"
+        f" ((({seed}::BIGINT * {a} + u) % {m}) * {a} + v) % {m} * {m} + u"
+        " AS key FROM (SELECT DISTINCT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v FROM te WHERE src <> dst))",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"mn{r} AS MATERIALIZED (SELECT vertex, MIN(key) AS mk FROM"
+            f" (SELECT u AS vertex, key FROM e{p}"
+            f" UNION ALL SELECT v, key FROM e{p}) GROUP BY vertex)"
+        )
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e"
+            f" JOIN mn{r} x ON x.vertex = e.u AND x.mk = e.key"
+            f" JOIN mn{r} y ON y.vertex = e.v AND y.mk = e.key)"
+        )
+        parts.append(
+            f"mv{r} AS MATERIALIZED (SELECT u AS vertex FROM p{r}"
+            f" UNION SELECT v FROM p{r})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v, e.key FROM e{p} e"
+            f" WHERE e.u NOT IN (SELECT vertex FROM mv{r})"
+            f" AND e.v NOT IN (SELECT vertex FROM mv{r}))"
+        )
+    body = ",\n".join(parts)
+    selects = [f"SELECT u, v FROM p{r}" for r in range(1, rounds + 1)]
+    return f"{body}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _salsa_sql(iters: int = 4) -> str:
     """Chained-CTE replay of operators/salsa.py's fixed contract: two
     independent degree-normalized chains (authority: back-step weighted
@@ -2359,6 +2496,17 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "salsa_bipartite": _salsa_sql(4),
         "eigenvector_bipartite": _eigenvector_sql(4),
         "walks_tree": _walks_sql(6, 42),
+        "sample_tree": _sample_sql([3, 2], 42),
+        "matching_tree": _matching_sql(12, 42),
+        # independent closed form of CC over tree ∪ delta: merging regions
+        # 0-1 and 2-3-4 relabels every tree vertex to 0 or 2 (region minima),
+        # and the brand-new vertex 5004 hangs off region 4 → component 2
+        "cc_incremental_tree": f"""WITH comp AS {_TREE_COMP_SQL}
+SELECT vertex,
+  CASE WHEN component IN (0, 1) THEN 0::BIGINT ELSE 2::BIGINT END
+    AS component FROM comp
+UNION ALL
+SELECT 5004::BIGINT, 2::BIGINT""",
         # the recursive-CTE SCC oracle composed with a double-join
         # contraction (condense.py contract: inner joins, intra-component
         # edges dropped, multiplicity counted)
@@ -2614,6 +2762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_bipartite": q_salsa_bipartite,
         "eigenvector_bipartite": q_eigenvector_bipartite,
         "walks_tree": q_walks_tree,
+        "sample_tree": q_sample_tree,
+        "matching_tree": q_matching_tree,
+        "cc_incremental_tree": q_cc_incremental_tree,
         "condensation_parts": q_condensation_parts,
         "scc_parts": q_scc_parts,
         "bowtie_parts": q_bowtie_parts,
