@@ -59,6 +59,7 @@ from .operators.condense import condense
 from .operators.incremental import incremental_components
 from .operators.matching import maximal_matching
 from .operators.sampling import neighbor_sample
+from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
 from .operators.scc import strongly_connected_components
 from .sources.tables import load_table
@@ -365,6 +366,28 @@ def q_cc_incremental_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = incremental_components(spark, base, merges.unionByName(newv))
     return res.components
+
+
+def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O30 on the driver gate: weighted multi-source SSSP from the 5 region
+    roots down the reversed tree (region→nation→customer), integer weights
+    1 + (src+dst) % 5 — hash-compared against a fixed-round chained-CTE
+    Bellman–Ford replay in DuckDB (full-state relaxation; rounds past the
+    fixpoint are no-ops, so the pinned count only needs to be ≥ the 2-hop
+    tree depth). Integer-only, exact by construction."""
+    te = tree_edges(spark, sf_dir)
+    rev = te.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        (F.lit(1) + (F.col("src") + F.col("dst")) % F.lit(5))
+        .cast("long")
+        .alias("weight"),
+    )
+    seeds = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("vertex")
+    )
+    res = shortest_paths(spark, rev, seeds)
+    return res.distances
 
 
 def q_matching_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1566,6 +1589,38 @@ def _sample_sql(fanouts: list[int] = [3, 2], seed: int = 42) -> str:
     return f"{body}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _sssp_sql(rounds: int = 4) -> str:
+    """Fixed-round chained-CTE Bellman–Ford replay of operators/sssp.py
+    over the reversed weighted tree: d_r = per-vertex MIN of d_{r-1} and
+    all one-edge relaxations of d_{r-1} (full-state form — same fixpoint as
+    the operator's frontier form). The tree is 2 hops deep, so rounds ≥ 2
+    suffices; extra rounds are no-ops. Integer weights 1 + (src+dst) % 5
+    (symmetric in the endpoints, so reversal-unambiguous) — hash match
+    exact by construction."""
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "e AS MATERIALIZED (SELECT te.dst AS src, te.src AS dst,"
+        " 1 + (te.src + te.dst) % 5 AS w FROM te)",
+        "d0 AS MATERIALIZED"
+        " (SELECT r_regionkey::BIGINT AS vertex, 0::BIGINT AS dist"
+        " FROM region)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            f" MIN(d.dist + e.w) AS dist"
+            f" FROM d{p} d JOIN e ON e.src = d.vertex GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM"
+            f" (SELECT vertex, dist FROM d{p}"
+            f" UNION ALL SELECT vertex, dist FROM c{r}) GROUP BY vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, dist FROM d{rounds}"
+
+
 def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
     """Fixed-round chained-CTE replay of operators/matching.py's local-min
     handshake over the tree graph: per round, each vertex's min-priority
@@ -2498,6 +2553,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "walks_tree": _walks_sql(6, 42),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
+        "sssp_tree": _sssp_sql(4),
         # independent closed form of CC over tree ∪ delta: merging regions
         # 0-1 and 2-3-4 relabels every tree vertex to 0 or 2 (region minima),
         # and the brand-new vertex 5004 hangs off region 4 → component 2
@@ -2764,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_tree": q_walks_tree,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
+        "sssp_tree": q_sssp_tree,
         "cc_incremental_tree": q_cc_incremental_tree,
         "condensation_parts": q_condensation_parts,
         "scc_parts": q_scc_parts,
