@@ -56,6 +56,8 @@ from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
 from .operators.reciprocity import reciprocity
 from .operators.condense import condense
+from .operators.butterfly import butterflies
+from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
 from .operators.matching import maximal_matching
 from .operators.sampling import neighbor_sample
@@ -366,6 +368,36 @@ def q_cc_incremental_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = incremental_components(spark, base, merges.unionByName(newv))
     return res.components
+
+
+def q_densest_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O32 on the driver gate: densest-subgraph vertex set of the MIXED
+    fixture — the dense copart core unioned with the sparse tree graph
+    offset by 10^6 (disjoint id spaces) so the argmax lands on a LATER peel
+    round (round 2 at sf0.01: the peel must first strip the tree periphery
+    + low-degree copart shell, making a wrong peel visible in the output).
+    Bahmani et al. parallel peel, ε = 1/2 ⇒ integer-exact removal test
+    deg·|S| ≤ 3·|E|; hash-compared against a fixed-round chained-CTE DuckDB
+    replay with exact cross-multiplied best-round selection — no floats
+    anywhere (operators/densest.py)."""
+    off = F.lit(1_000_000)
+    tree = tree_edges(spark, sf_dir).select(
+        (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+    )
+    res = densest_subgraph(
+        spark, copart_edges(spark, sf_dir).unionByName(tree)
+    )
+    return res.vertices
+
+
+def q_butterflies_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 on the driver gate: per-vertex butterfly (2×2-biclique) counts on
+    the part side of the order–part bipartite graph (hub cap 256), hash-
+    compared against a plain two-self-join SQL replay — integer-only, exact
+    by construction."""
+    return butterflies(
+        spark, bipartite_edges(spark, sf_dir), side="dst", max_fanout=256
+    )
 
 
 def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,6 +1653,58 @@ def _sssp_sql(rounds: int = 4) -> str:
     return f"{body}\nSELECT vertex, dist FROM d{rounds}"
 
 
+def _densest_sql(rounds: int = 10) -> str:
+    """Fixed-round chained-CTE replay of operators/densest.py's ε=1/2 peel
+    over the mixed copart ∪ offset-tree fixture (q_densest_mixed docstring):
+    per round, degrees + (nv, ne) stats of the surviving induced graph, then
+    drop every vertex with deg·nv ≤ 3·ne — integer-only. The best (densest)
+    round is selected with exact cross-multiplied ratio comparison (earliest
+    round wins ties); rounds past S = ∅ contribute no stats row and are
+    no-ops, so ``rounds`` only needs to exceed the measured 3-round depth."""
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src,"
+        " GREATEST(src, dst) AS dst FROM"
+        f" (SELECT src, dst FROM {_COPART_EDGES_SQL} c"
+        " UNION ALL SELECT src + 1000000, dst + 1000000 FROM"
+        f" {_TREE_EDGES_SQL} t) WHERE src <> dst)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT vertex, COUNT(*) AS deg FROM"
+            f" (SELECT src AS vertex FROM e{p}"
+            f" UNION ALL SELECT dst FROM e{p}) GROUP BY vertex)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS nv,"
+            f" (COALESCE(SUM(deg), 0) // 2)::BIGINT AS ne FROM d{r})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e"
+            f" JOIN d{r} a ON a.vertex = e.src"
+            f" JOIN d{r} b ON b.vertex = e.dst, s{r} s"
+            f" WHERE a.deg * s.nv > 3 * s.ne AND b.deg * s.nv > 3 * s.ne)"
+        )
+    stats_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, nv, ne FROM s{r} WHERE nv > 0"
+        for r in range(1, rounds + 1)
+    )
+    allv_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, vertex FROM d{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(f"stats AS MATERIALIZED ({stats_union})")
+    parts.append(
+        "best AS MATERIALIZED (SELECT s.r FROM stats s WHERE NOT EXISTS"
+        " (SELECT 1 FROM stats t WHERE t.ne * s.nv > s.ne * t.nv"
+        " OR (t.ne * s.nv = s.ne * t.nv AND t.r < s.r)))"
+    )
+    parts.append(f"allv AS MATERIALIZED ({allv_union})")
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT v.vertex FROM allv v JOIN best b ON b.r = v.r"
+    )
+
+
 def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
     """Fixed-round chained-CTE replay of operators/matching.py's local-min
     handshake over the tree graph: per round, each vertex's min-priority
@@ -2553,7 +2637,20 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "walks_tree": _walks_sql(6, 42),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
+        "densest_mixed": _densest_sql(10),
         "sssp_tree": _sssp_sql(4),
+        # butterfly fold over the capped wedge pairs (operators/butterfly.py
+        # identity): bf(pair) = C(common, 2), per-vertex sum over both pair
+        # endpoints — integer-only
+        "butterflies_bipartite": f"""WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL},
+gen AS MATERIALIZED (SELECT src FROM e GROUP BY src HAVING COUNT(*) <= 256),
+ec AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN gen g ON g.src = e.src),
+p AS MATERIALIZED (SELECT l.dst AS a, r.dst AS b, COUNT(*) AS c
+  FROM ec l JOIN ec r ON l.src = r.src AND l.dst < r.dst GROUP BY 1, 2),
+pc AS MATERIALIZED (SELECT a, b, (c * (c - 1)) // 2 AS bf FROM p WHERE c >= 2)
+SELECT vertex, SUM(bf)::BIGINT AS butterflies FROM
+ (SELECT a AS vertex, bf FROM pc UNION ALL SELECT b AS vertex, bf FROM pc)
+GROUP BY vertex""",
         # independent closed form of CC over tree ∪ delta: merging regions
         # 0-1 and 2-3-4 relabels every tree vertex to 0 or 2 (region minima),
         # and the brand-new vertex 5004 hangs off region 4 → component 2
@@ -2821,6 +2918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "sssp_tree": q_sssp_tree,
+        "butterflies_bipartite": q_butterflies_bipartite,
+        "densest_mixed": q_densest_mixed,
         "cc_incremental_tree": q_cc_incremental_tree,
         "condensation_parts": q_condensation_parts,
         "scc_parts": q_scc_parts,
