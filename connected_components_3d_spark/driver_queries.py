@@ -60,6 +60,7 @@ from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
 from .operators.matching import maximal_matching
+from .operators.mis import maximal_independent_set
 from .operators.sampling import neighbor_sample
 from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
@@ -398,6 +399,16 @@ def q_butterflies_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return butterflies(
         spark, bipartite_edges(spark, sf_dir), side="dst", max_fanout=256
     )
+
+
+def q_mis_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O33 on the driver gate: deterministic maximal independent set
+    (seed 42) of the part co-occurrence graph — 7 local-min rounds at
+    sf0.01, the deepest MIS fixture available — hash-compared against a
+    fixed-round chained-CTE DuckDB replay of the identical contract
+    (operators/mis.py); over-pinned rounds act on empty state (no-ops)."""
+    res = maximal_independent_set(spark, copart_edges(spark, sf_dir), seed=42)
+    return res.mis
 
 
 def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1705,6 +1716,69 @@ def _densest_sql(rounds: int = 10) -> str:
     )
 
 
+def _mis_sql(rounds: int = 10, seed: int = 42) -> str:
+    """Fixed-round chained-CTE replay of operators/mis.py's local-min MIS
+    over the copart graph: key(v) = mix(mix(seed, v), 0) * M + v (the
+    multiplicative scramble — a single mix is affine in v and would collapse
+    the greedy order to ascending id); per round, winners are vertices whose
+    key beats every live neighbour's, then winners + neighbours are removed.
+    Integer-only BIGINT arithmetic (products < 2^62) — hash-exact. Rounds
+    past convergence act on empty state (no-ops), so ``rounds`` only needs
+    to exceed the measured 7-round depth."""
+    m, a = 2147483647, 1103515245
+
+    def key(col: str) -> str:
+        return (
+            f"(({seed}::BIGINT * {a} + {col}) % {m}) * {a} % {m}"
+            f" * {m} + {col}"
+        )
+
+    parts = [
+        f"WITH ce AS MATERIALIZED (SELECT LEAST(src, dst) AS u,"
+        f" GREATEST(src, dst) AS v FROM {_COPART_EDGES_SQL} c"
+        " WHERE src <> dst)",
+        f"e0 AS MATERIALIZED (SELECT u, v, {key('u')} AS ku,"
+        f" {key('v')} AS kv FROM ce)",
+        "v0 AS MATERIALIZED (SELECT vertex, "
+        + key("vertex")
+        + " AS key FROM (SELECT u AS vertex FROM ce"
+        " UNION SELECT v FROM ce))",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"nb{r} AS MATERIALIZED (SELECT vertex, MIN(nk) AS mn FROM"
+            f" (SELECT u AS vertex, kv AS nk FROM e{p}"
+            f" UNION ALL SELECT v, ku FROM e{p}) GROUP BY vertex)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT t.vertex FROM v{p} t"
+            f" LEFT JOIN nb{r} n ON n.vertex = t.vertex"
+            " WHERE n.mn IS NULL OR t.key < n.mn)"
+        )
+        parts.append(
+            f"rm{r} AS MATERIALIZED (SELECT vertex FROM w{r}"
+            f" UNION SELECT e.v FROM e{p} e JOIN w{r} x ON x.vertex = e.u"
+            f" UNION SELECT e.u FROM e{p} e JOIN w{r} y ON y.vertex = e.v)"
+        )
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT t.vertex, t.key FROM v{p} t"
+            f" LEFT JOIN rm{r} x ON x.vertex = t.vertex"
+            " WHERE x.vertex IS NULL)"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v, e.ku, e.kv FROM e{p} e"
+            f" LEFT JOIN rm{r} x ON x.vertex = e.u"
+            f" LEFT JOIN rm{r} y ON y.vertex = e.v"
+            " WHERE x.vertex IS NULL AND y.vertex IS NULL)"
+        )
+    wins = " UNION ALL ".join(
+        f"SELECT vertex FROM w{r}" for r in range(1, rounds + 1)
+    )
+    body = ",\n".join(parts)
+    return f"{body}\n{wins}"
+
+
 def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
     """Fixed-round chained-CTE replay of operators/matching.py's local-min
     handshake over the tree graph: per round, each vertex's min-priority
@@ -2637,6 +2711,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "walks_tree": _walks_sql(6, 42),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
+        "mis_copart": _mis_sql(10, 42),
         "densest_mixed": _densest_sql(10),
         "sssp_tree": _sssp_sql(4),
         # butterfly fold over the capped wedge pairs (operators/butterfly.py
@@ -2917,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_tree": q_walks_tree,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
+        "mis_copart": q_mis_copart,
         "sssp_tree": q_sssp_tree,
         "butterflies_bipartite": q_butterflies_bipartite,
         "densest_mixed": q_densest_mixed,
