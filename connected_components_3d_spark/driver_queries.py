@@ -61,6 +61,7 @@ from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
 from .operators.matching import maximal_matching
 from .operators.mis import maximal_independent_set
+from .operators.coloring import greedy_coloring
 from .operators.sampling import neighbor_sample
 from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
@@ -409,6 +410,20 @@ def q_mis_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/mis.py); over-pinned rounds act on empty state (no-ops)."""
     res = maximal_independent_set(spark, copart_edges(spark, sf_dir), seed=42)
     return res.mis
+
+
+def q_coloring_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O34 on the driver gate: deterministic Jones–Plassmann greedy
+    colouring (seed 42) of the tree ∪ nation-ring graph — 5 rounds / 4
+    colours at sf0.01 (the odd 25-cycle forces a third colour beyond the
+    tree's two) — hash-compared against a fixed-round chained-CTE DuckDB
+    replay whose mex is a candidate-range anti-join (operators/coloring.py
+    contract); over-pinned rounds act on empty state (no-ops). NOTE the
+    dense copart fixture is deliberately NOT used: JP serialises inside
+    overlapping cliques (one vertex per clique per round — 207 rounds
+    there), the module docstring's depth caveat."""
+    res = greedy_coloring(spark, tree_ring_edges(spark, sf_dir), seed=42)
+    return res.colors
 
 
 def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1779,6 +1794,85 @@ def _mis_sql(rounds: int = 10, seed: int = 42) -> str:
     return f"{body}\n{wins}"
 
 
+def _coloring_sql(rounds: int = 8, seed: int = 42) -> str:
+    """Fixed-round chained-CTE replay of operators/coloring.py's
+    Jones–Plassmann rounds over the tree ∪ nation-ring graph: per round,
+    ready vertices (key beats every uncoloured neighbour's) take the mex of
+    their coloured neighbours' colours — here computed by generating
+    candidates 0..|coloured-neighbour colours| per ready vertex
+    (unnest(range())) and anti-joining the taken colours. Same integer-mix
+    keys as _mis_sql — hash-exact by construction; rounds past convergence
+    act on empty state (no-ops)."""
+    m, a = 2147483647, 1103515245
+
+    def key(col: str) -> str:
+        return (
+            f"(({seed}::BIGINT * {a} + {col}) % {m}) * {a} % {m}"
+            f" * {m} + {col}"
+        )
+
+    parts = [
+        f"WITH ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,"
+        f" GREATEST(src, dst) AS v FROM {_TREE_RING_EDGES_SQL} tr"
+        " WHERE src <> dst)",
+        "adj AS MATERIALIZED (SELECT u AS vertex, v AS nbr FROM ce"
+        " UNION ALL SELECT v, u FROM ce)",
+        f"ue0 AS MATERIALIZED (SELECT u, v, {key('u')} AS ku,"
+        f" {key('v')} AS kv FROM ce)",
+        "uv0 AS MATERIALIZED (SELECT vertex, "
+        + key("vertex")
+        + " AS key FROM (SELECT DISTINCT vertex FROM adj))",
+        "col0 AS MATERIALIZED (SELECT NULL::BIGINT AS vertex,"
+        " NULL::BIGINT AS color WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"nb{r} AS MATERIALIZED (SELECT vertex, MIN(nk) AS mn FROM"
+            f" (SELECT u AS vertex, kv AS nk FROM ue{p}"
+            f" UNION ALL SELECT v, ku FROM ue{p}) GROUP BY vertex)"
+        )
+        parts.append(
+            f"rd{r} AS MATERIALIZED (SELECT t.vertex FROM uv{p} t"
+            f" LEFT JOIN nb{r} n ON n.vertex = t.vertex"
+            " WHERE n.mn IS NULL OR t.key < n.mn)"
+        )
+        parts.append(
+            f"nc{r} AS MATERIALIZED (SELECT DISTINCT a.vertex, c.color"
+            f" FROM adj a JOIN rd{r} x ON x.vertex = a.vertex"
+            f" JOIN col{p} c ON c.vertex = a.nbr)"
+        )
+        parts.append(
+            f"cd{r} AS MATERIALIZED (SELECT t.vertex,"
+            " UNNEST(range(0, COALESCE(d.d, 0) + 1)) AS i"
+            f" FROM rd{r} t LEFT JOIN (SELECT vertex, COUNT(*) AS d"
+            f" FROM nc{r} GROUP BY vertex) d ON d.vertex = t.vertex)"
+        )
+        parts.append(
+            f"mx{r} AS MATERIALIZED (SELECT c.vertex, MIN(c.i)::BIGINT"
+            f" AS color FROM cd{r} c LEFT JOIN nc{r} n"
+            " ON n.vertex = c.vertex AND n.color = c.i"
+            " WHERE n.vertex IS NULL GROUP BY c.vertex)"
+        )
+        parts.append(
+            f"col{r} AS MATERIALIZED (SELECT vertex, color FROM col{p}"
+            f" UNION ALL SELECT vertex, color FROM mx{r})"
+        )
+        parts.append(
+            f"uv{r} AS MATERIALIZED (SELECT t.vertex, t.key FROM uv{p} t"
+            f" LEFT JOIN mx{r} x ON x.vertex = t.vertex"
+            " WHERE x.vertex IS NULL)"
+        )
+        parts.append(
+            f"ue{r} AS MATERIALIZED (SELECT e.u, e.v, e.ku, e.kv FROM ue{p} e"
+            f" LEFT JOIN mx{r} x ON x.vertex = e.u"
+            f" LEFT JOIN mx{r} y ON y.vertex = e.v"
+            " WHERE x.vertex IS NULL AND y.vertex IS NULL)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, color FROM col{rounds}"
+
+
 def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
     """Fixed-round chained-CTE replay of operators/matching.py's local-min
     handshake over the tree graph: per round, each vertex's min-priority
@@ -2712,6 +2806,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
         "mis_copart": _mis_sql(10, 42),
+        "coloring_ring": _coloring_sql(8, 42),
         "densest_mixed": _densest_sql(10),
         "sssp_tree": _sssp_sql(4),
         # butterfly fold over the capped wedge pairs (operators/butterfly.py
@@ -2993,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
+        "coloring_ring": q_coloring_ring,
         "sssp_tree": q_sssp_tree,
         "butterflies_bipartite": q_butterflies_bipartite,
         "densest_mixed": q_densest_mixed,
