@@ -62,6 +62,7 @@ from .operators.incremental import incremental_components
 from .operators.matching import maximal_matching
 from .operators.mis import maximal_independent_set
 from .operators.coloring import greedy_coloring
+from .operators.msf import minimum_spanning_forest
 from .operators.sampling import neighbor_sample
 from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
@@ -424,6 +425,49 @@ def q_coloring_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     there), the module docstring's depth caveat."""
     res = greedy_coloring(spark, tree_ring_edges(spark, sf_dir), seed=42)
     return res.colors
+
+
+def _msf_weight(u, v):
+    """Deterministic integer edge weight in [1, 2^20] on the CANONICAL
+    (u < v) pair — the walks.py mix family, identical in Spark and DuckDB
+    (all BIGINT, products < 2^62)."""
+    m = F.lit(2147483647).cast("long")
+    a = F.lit(1103515245).cast("long")
+    return (
+        ((F.lit(7).cast("long") * a + u) % m * a + v) % m % F.lit(1048576)
+        + F.lit(1)
+    ).cast("long")
+
+
+def q_msf_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O35 on the driver gate: Borůvka minimum spanning forest of the tree
+    forest (mix weights in [1, 2^20]) ∪ the 25-edge nation ring (weights
+    offset by 2^20 — strictly heavier than every tree edge). The oracle is
+    an INDEPENDENT computation: all tree edges are in the MSF in closed
+    form (a forest never cycles), and the ring's contribution is a 25-step
+    Kruskal replay over the 5-element REGION label space (after the tree,
+    components = region trees), chained-CTE in DuckDB. Borůvka vs
+    closed-form+Kruskal agreeing bit-for-bit certifies the whole pipeline
+    (operators/msf.py uniqueness contract under the (w, u, v) order)."""
+    te = tree_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    ring = nation.selectExpr(
+        "CAST(100 + n_nationkey AS BIGINT) AS src",
+        "CAST(100 + (n_nationkey + 1) % 25 AS BIGINT) AS dst",
+    )
+
+    def weighted(df, offset):
+        u = F.least("src", "dst")
+        v = F.greatest("src", "dst")
+        return df.select(
+            F.col("src"),
+            F.col("dst"),
+            (_msf_weight(u, v) + F.lit(offset).cast("long")).alias("weight"),
+        )
+
+    ew = weighted(te, 0).unionByName(weighted(ring, 1048576))
+    res = minimum_spanning_forest(spark, ew)
+    return res.forest
 
 
 def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1873,6 +1917,64 @@ def _coloring_sql(rounds: int = 8, seed: int = 42) -> str:
     return f"{body}\nSELECT vertex, color FROM col{rounds}"
 
 
+def _msf_sql() -> str:
+    """Independent oracle for `msf_tree_ring` (q_msf_tree_ring docstring):
+    tree edges enter the MSF in closed form (forest edges never cycle —
+    Kruskal accepts them all regardless of order); ring edges are replayed
+    as a 25-step Kruskal chained CTE over the 5-row region label table
+    (post-tree components ≡ region trees; a ring edge is accepted iff its
+    endpoint nations' regions carry different labels, which then merge to
+    their minimum). Weight formula identical to _msf_weight (BIGINT mix,
+    products < 2^62)."""
+    m, a = 2147483647, 1103515245
+
+    def w(u: str, v: str) -> str:
+        return (
+            f"(((7::BIGINT * {a} + {u}) % {m}) * {a} + {v})"
+            f" % {m} % 1048576 + 1"
+        )
+
+    parts = [
+        f"WITH te AS MATERIALIZED (SELECT LEAST(src, dst) AS u,"
+        f" GREATEST(src, dst) AS v FROM {_TREE_EDGES_SQL} t)",
+        "ringe AS MATERIALIZED (SELECT"
+        " LEAST(100 + n1.n_nationkey, 100 + (n1.n_nationkey + 1) % 25)::BIGINT AS u,"
+        " GREATEST(100 + n1.n_nationkey, 100 + (n1.n_nationkey + 1) % 25)::BIGINT AS v,"
+        " n1.n_regionkey::BIGINT AS ra, n2.n_regionkey::BIGINT AS rb"
+        " FROM nation n1 JOIN nation n2"
+        " ON n2.n_nationkey = (n1.n_nationkey + 1) % 25)",
+        "ranked AS MATERIALIZED (SELECT u, v, w, ra, rb,"
+        " ROW_NUMBER() OVER (ORDER BY w, u, v) AS rk FROM"
+        f" (SELECT u, v, 1048576 + ({w('u', 'v')}) AS w, ra, rb FROM ringe))",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT n_regionkey::BIGINT AS region,"
+        " n_regionkey::BIGINT AS lab FROM nation)",
+    ]
+    for i in range(1, 26):
+        p = i - 1
+        parts.append(
+            f"st{i} AS MATERIALIZED (SELECT la.lab AS la, lb.lab AS lb,"
+            f" e.u, e.v, e.w FROM ranked e"
+            f" JOIN lab{p} la ON la.region = e.ra"
+            f" JOIN lab{p} lb ON lb.region = e.rb WHERE e.rk = {i})"
+        )
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT l.region,"
+            " CASE WHEN s.la <> s.lb AND l.lab IN (s.la, s.lb)"
+            " THEN LEAST(s.la, s.lb) ELSE l.lab END AS lab"
+            f" FROM lab{p} l, st{i} s)"
+        )
+        parts.append(
+            f"acc{i} AS MATERIALIZED (SELECT u, v, w FROM st{i}"
+            " WHERE la <> lb)"
+        )
+    accs = " UNION ALL ".join(f"SELECT u, v, w FROM acc{i}" for i in range(1, 26))
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT u, v, ({w('u', 'v')})::BIGINT AS weight FROM te"
+        f" UNION ALL SELECT u, v, w::BIGINT AS weight FROM ({accs})"
+    )
+
+
 def _matching_sql(rounds: int = 12, seed: int = 42) -> str:
     """Fixed-round chained-CTE replay of operators/matching.py's local-min
     handshake over the tree graph: per round, each vertex's min-priority
@@ -2807,6 +2909,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "matching_tree": _matching_sql(12, 42),
         "mis_copart": _mis_sql(10, 42),
         "coloring_ring": _coloring_sql(8, 42),
+        "msf_tree_ring": _msf_sql(),
         "densest_mixed": _densest_sql(10),
         "sssp_tree": _sssp_sql(4),
         # butterfly fold over the capped wedge pairs (operators/butterfly.py
@@ -3089,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
         "coloring_ring": q_coloring_ring,
+        "msf_tree_ring": q_msf_tree_ring,
         "sssp_tree": q_sssp_tree,
         "butterflies_bipartite": q_butterflies_bipartite,
         "densest_mixed": q_densest_mixed,
