@@ -63,6 +63,7 @@ from .operators.matching import maximal_matching
 from .operators.mis import maximal_independent_set
 from .operators.coloring import greedy_coloring
 from .operators.msf import minimum_spanning_forest
+from .operators.ssjoin import similarity_join
 from .operators.sampling import neighbor_sample
 from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
@@ -468,6 +469,20 @@ def q_msf_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = weighted(te, 0).unionByName(weighted(ring, 1048576))
     res = minimum_spanning_forest(spark, ew)
     return res.forest
+
+
+def q_ssjoin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O36 on the driver gate: exact prefix-filtered set-similarity
+    self-join over the documents table at Jaccard ≥ 0.95 (word-token sets)
+    — the guaranteed-complete exact complement to the MinHash-LSH stack.
+    The Spark side runs the full prefix-filter pipeline (rarest-token
+    prefixes, integer threshold arithmetic); the oracle is a brute-force
+    ALL-PAIRS DuckDB replay with the identical integer test
+    20·|A∩B| ≥ 19·|A∪B| — a genuinely different algorithm agreeing
+    bit-for-bit certifies the filter lost nothing (operators/ssjoin.py
+    completeness lemma)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity_join(docs, threshold="0.95")
 
 
 def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2910,6 +2925,19 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "mis_copart": _mis_sql(10, 42),
         "coloring_ring": _coloring_sql(8, 42),
         "msf_tree_ring": _msf_sql(),
+        # brute-force all-pairs oracle for the prefix-filtered exact
+        # similarity join (q_ssjoin_documents): same tokenizer, same integer
+        # threshold test 20*inter >= 19*union (t = 0.95 = 19/20)
+        "ssjoin_documents": f"""WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_TOK.format(c='text')}) AS tk FROM documents),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS n_inter,
+    len(a.tk)::BIGINT AS n_a, len(b.tk)::BIGINT AS n_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  ROUND(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard
+FROM pairs WHERE 20 * n_inter >= 19 * (n_a + n_b - n_inter)""",
         "densest_mixed": _densest_sql(10),
         "sssp_tree": _sssp_sql(4),
         # butterfly fold over the capped wedge pairs (operators/butterfly.py
@@ -3193,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copart": q_mis_copart,
         "coloring_ring": q_coloring_ring,
         "msf_tree_ring": q_msf_tree_ring,
+        "ssjoin_documents": q_ssjoin_documents,
         "sssp_tree": q_sssp_tree,
         "butterflies_bipartite": q_butterflies_bipartite,
         "densest_mixed": q_densest_mixed,
