@@ -228,6 +228,11 @@ def main() -> None:
     run("cocitation_parts", dq.q_cocitation_parts)
     run("lpa_tree", dq.q_lpa_tree)
     run("triangles_copart", dq.q_triangles_copart)
+    run("mis_copart", dq.q_mis_copart)
+    run("msf_tree_ring", dq.q_msf_tree_ring)
+    run("densest_mixed", dq.q_densest_mixed)
+    run("butterflies_bipartite", dq.q_butterflies_bipartite)
+    run("ssjoin_documents", dq.q_ssjoin_documents)
     run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)
     run("dedup_simhash", dq.q_dedup_simhash)
     run("text_stats", dq.q_text_stats)

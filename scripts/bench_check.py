@@ -48,6 +48,11 @@ GATED_TOTALS = [
     "host_pagerank_orders",
     "clustering_copart",
     "cocitation_parts",
+    "mis_copart",
+    "msf_tree_ring",
+    "densest_mixed",
+    "butterflies_bipartite",
+    "ssjoin_documents",
 ]
 
 
