@@ -56,6 +56,8 @@ from .operators.pagerank import pagerank
 from .operators.ppr import personalized_pagerank
 from .operators.reciprocity import reciprocity
 from .operators.condense import condense
+from .operators.cooccurrence import cooccurrence_graph
+from .operators.transitions import transition_matrix
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1323,6 +1325,25 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+def q_cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-visitation graph over the event log (operators/
+    cooccurrence.py): users linked by the number of distinct 3600s tumbling
+    windows both were active in; windows with >24 active users dropped
+    before pair generation (binding at sf0.01 — burst windows carry no
+    pairwise signal). Oracle: plain-SQL replay on epoch_us floor division."""
+    ev = load_table(spark, sf_dir, "events")
+    return cooccurrence_graph(ev, window_s=3600, max_users=24)
+
+
+def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (operators/transitions.py): consecutive event_type pairs under the
+    deterministic (ts, event_id) order, per-source normalized, 6dp.
+    Oracle: LAG-window replay."""
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)
 
 
 # ---------------------------------------------------------------------------
@@ -3153,6 +3174,23 @@ FROM events GROUP BY 1, 2""",
   FROM events))
 SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
 FROM w GROUP BY user_id""",
+        "cooccurrence_events": """WITH wu AS MATERIALIZED (
+  SELECT DISTINCT epoch_us(ts) // 3600000000 AS w, user_id AS u FROM events),
+ok AS (SELECT w FROM wu GROUP BY w HAVING COUNT(*) <= 24),
+wc AS (SELECT wu.w, wu.u FROM wu JOIN ok ON wu.w = ok.w)
+SELECT a.u AS user_a, b.u AS user_b, COUNT(*)::BIGINT AS n_windows
+FROM wc a JOIN wc b ON a.w = b.w AND a.u < b.u
+GROUP BY 1, 2""",
+        "transitions_events": """WITH p AS (
+  SELECT event_type AS dst_state,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS src_state
+  FROM events),
+c AS (SELECT src_state, dst_state, COUNT(*)::BIGINT AS n FROM p
+  WHERE src_state IS NOT NULL GROUP BY 1, 2)
+SELECT src_state, dst_state, n,
+  ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY src_state), 6) AS p
+FROM c""",
         "dedup_exact": """SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS group_size,
   MIN(doc_id) AS canonical_id
 FROM documents GROUP BY md5(text)""",
@@ -3268,6 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "events_daily": q_events_daily,
         "events_sessions": q_events_sessions,
+        "cooccurrence_events": q_cooccurrence_events,
+        "transitions_events": q_transitions_events,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
