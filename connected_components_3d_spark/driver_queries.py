@@ -58,6 +58,10 @@ from .operators.reciprocity import reciprocity
 from .operators.condense import condense
 from .operators.cooccurrence import cooccurrence_graph
 from .operators.transitions import transition_matrix
+from .operators.richclub import rich_club
+from .operators.katz import katz_centrality
+from .operators.cooccurrence import copresence_temporal_edges
+from .operators.temporal import earliest_arrival
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -338,6 +342,17 @@ def q_eigenvector_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained-CTE DuckDB replay of the shifted power step + L2 normalizer."""
     res = eigenvector_centrality(
         spark, bipartite_edges(spark, sf_dir), fixed_iters=4
+    )
+    return res.scores.select("vertex", F.round("score", 8).alias("score"))
+
+
+def q_katz_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7i on the driver gate: Katz centrality (attenuated-walk counts,
+    6-term truncated series, α=0.1 β=1) on the bipartite graph,
+    hash-compared against a chained-CTE DuckDB replay of the
+    β + α·(in-edge sum) step."""
+    res = katz_centrality(
+        spark, bipartite_edges(spark, sf_dir), alpha=0.1, fixed_iters=6
     )
     return res.scores.select("vertex", F.round("score", 8).alias("score"))
 
@@ -1346,6 +1361,30 @@ def q_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(ev)
 
 
+def q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal earliest-arrival diffusion (operators/temporal.py) over the
+    co-presence temporal graph derived from events (900s windows, cap 12):
+    seeds = users with id % 101 == 0 at t0=0; measured fixpoint depth 4 at
+    sf0.01 — the oracle replays 6 chained full-relaxation rounds (rounds
+    past the fixpoint are no-ops)."""
+    ev = load_table(spark, sf_dir, "events")
+    te = copresence_temporal_edges(ev, window_s=900, max_users=12)
+    seeds = (
+        ev.select(F.col("user_id").cast("long").alias("vertex"))
+        .where(F.col("vertex") % 101 == 0)
+        .distinct()
+        .select("vertex", F.lit(0).cast("long").alias("t0"))
+    )
+    return earliest_arrival(spark, te, seeds).arrivals
+
+
+def q_richclub_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) over the co-part graph (operators/
+    richclub.py): hub-interconnection density at every observed degree
+    threshold. Oracle: plain-SQL histogram-suffix-sum replay."""
+    return rich_club(copart_edges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
@@ -1643,6 +1682,67 @@ def _eigenvector_sql(iters: int = 4) -> str:
     return (
         f"{body}\nSELECT vertex, ROUND(x, 8) AS score FROM x{iters}"
     )
+
+
+def _katz_sql(iters: int = 6, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """Chained-CTE replay of operators/katz.py's fixed contract: x_0 = β,
+    per iteration x = β + α·(in-edge sum) — the k-term truncated Katz
+    series. Same AS MATERIALIZED + ROUND(…, 8) rationale as _hits_sql
+    (DuckDB CTE inlining; SUM reassociation); the α/β literals parse to
+    the identical float64 in both engines."""
+    parts = [
+        f"WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL}",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        f"x0 AS MATERIALIZED (SELECT vertex, {beta!r}::DOUBLE AS x FROM v)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"ins{i} AS MATERIALIZED (SELECT e.dst AS vertex, SUM(x.x) AS s"
+            f" FROM e JOIN x{p} x ON x.vertex = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT x.vertex,"
+            f" {beta!r}::DOUBLE + {alpha!r}::DOUBLE * COALESCE(i.s, 0.0) AS x"
+            f" FROM x{p} x LEFT JOIN ins{i} i ON i.vertex = x.vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, ROUND(x, 8) AS score FROM x{iters}"
+
+
+def _temporal_reach_sql(rounds: int = 6) -> str:
+    """Chained-CTE full-relaxation replay of operators/temporal.py's
+    earliest-arrival fixpoint over the events co-presence temporal graph
+    (900s windows, cap 12, seeds id%101=0 at t0=0). Pinned ``rounds`` must
+    be ≥ the measured depth (4 at sf0.01); later rounds are no-ops. All
+    integer arithmetic — the hash match is exact by construction. Same
+    AS MATERIALIZED rationale as _hits_sql."""
+    parts = [
+        "WITH wu AS MATERIALIZED (SELECT DISTINCT"
+        " epoch_us(ts) // 900000000 AS w, user_id AS u FROM events)",
+        "ok AS (SELECT w FROM wu GROUP BY w HAVING COUNT(*) <= 12)",
+        "wc AS MATERIALIZED"
+        " (SELECT wu.w, wu.u FROM wu JOIN ok ON wu.w = ok.w)",
+        "te AS MATERIALIZED (SELECT a.u AS src, b.u AS dst, a.w AS t"
+        " FROM wc a JOIN wc b ON a.w = b.w AND a.u <> b.u)",
+        "ea0 AS MATERIALIZED (SELECT DISTINCT user_id::BIGINT AS vertex,"
+        " 0::BIGINT AS arrival FROM events WHERE user_id % 101 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT te.dst AS vertex,"
+            f" MIN(te.t)::BIGINT AS arrival FROM te JOIN ea{p} e"
+            f" ON te.src = e.vertex AND te.t >= e.arrival GROUP BY te.dst)"
+        )
+        parts.append(
+            f"ea{i} AS MATERIALIZED (SELECT vertex,"
+            f" MIN(arrival)::BIGINT AS arrival FROM"
+            f" (SELECT * FROM ea{p} UNION ALL SELECT * FROM c{i})"
+            f" GROUP BY vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, arrival FROM ea{rounds}"
 
 
 def _walks_sql(steps: int = 6, seed: int = 42) -> str:
@@ -2940,6 +3040,8 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "hits_bipartite": _hits_sql(4),
         "salsa_bipartite": _salsa_sql(4),
         "eigenvector_bipartite": _eigenvector_sql(4),
+        "katz_bipartite": _katz_sql(6),
+        "temporal_reach_events": _temporal_reach_sql(6),
         "walks_tree": _walks_sql(6, 42),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
@@ -3191,6 +3293,24 @@ c AS (SELECT src_state, dst_state, COUNT(*)::BIGINT AS n FROM p
 SELECT src_state, dst_state, n,
   ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY src_state), 6) AS p
 FROM c""",
+        "richclub_copart": f"""WITH e AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM {_COPART_EDGES_SQL} t),
+deg AS MATERIALIZED (SELECT x, COUNT(*)::BIGINT AS d FROM
+  (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY x),
+em AS (SELECT LEAST(du.d, dv.d) AS m, COUNT(*)::BIGINT AS cnt_e
+  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x GROUP BY 1),
+nh AS (SELECT d, COUNT(*)::BIGINT AS cnt_n FROM deg GROUP BY d),
+grid AS (SELECT nh.d AS k, nh.cnt_n, COALESCE(em.cnt_e, 0) AS cnt_e
+  FROM nh LEFT JOIN em ON nh.d = em.m),
+cum AS (SELECT k,
+  (SUM(cnt_n) OVER (ORDER BY k DESC
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt_n) AS n_nodes,
+  (SUM(cnt_e) OVER (ORDER BY k DESC
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt_e) AS n_edges
+ FROM grid)
+SELECT k, n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges,
+  ROUND(2.0 * n_edges / (n_nodes::DOUBLE * (n_nodes - 1)), 6) AS phi
+FROM cum WHERE n_nodes >= 2""",
         "dedup_exact": """SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS group_size,
   MIN(doc_id) AS canonical_id
 FROM documents GROUP BY md5(text)""",
@@ -3253,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_bipartite": q_ppr_bipartite,
         "salsa_bipartite": q_salsa_bipartite,
         "eigenvector_bipartite": q_eigenvector_bipartite,
+        "katz_bipartite": q_katz_bipartite,
         "walks_tree": q_walks_tree,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
@@ -3308,6 +3429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "cooccurrence_events": q_cooccurrence_events,
         "transitions_events": q_transitions_events,
+        "richclub_copart": q_richclub_copart,
+        "temporal_reach_events": q_temporal_reach_events,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,

@@ -34,20 +34,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cooccurrence_graph(
+def _capped_window_users(
     events: DataFrame,
     *,
-    entity_col: str = "user_id",
-    ts_col: str = "ts",
-    window_s: int = 3600,
-    max_users: int = 64,
+    entity_col: str,
+    ts_col: str,
+    window_s: int,
+    max_users: int,
 ) -> DataFrame:
-    """Weighted co-occurrence edges (user_a:long < user_b:long,
-    n_windows:long) over tumbling ``window_s``-second windows; windows with
-    more than ``max_users`` distinct active entities are excluded (module
-    docstring cap rationale)."""
+    """Distinct (w:long, u:long) pairs over tumbling windows, with burst
+    windows (> max_users distinct entities) dropped."""
     if window_s <= 0:
-        raise ValueError(f"cooccurrence_graph: window_s must be > 0, got {window_s}")
+        raise ValueError(f"cooccurrence: window_s must be > 0, got {window_s}")
     # integer-exact floor division: subtract the remainder first so the
     # double `/` divides an exact multiple (epoch_us < 2^53 — no float
     # boundary wobble for any window_s)
@@ -67,7 +65,28 @@ def cooccurrence_graph(
         .where(F.col("_n") <= max_users)
         .select("w")
     )
-    wc = wu.join(ok, "w", "left_semi")
+    return wu.join(ok, "w", "left_semi")
+
+
+def cooccurrence_graph(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    max_users: int = 64,
+) -> DataFrame:
+    """Weighted co-occurrence edges (user_a:long < user_b:long,
+    n_windows:long) over tumbling ``window_s``-second windows; windows with
+    more than ``max_users`` distinct active entities are excluded (module
+    docstring cap rationale)."""
+    wc = _capped_window_users(
+        events,
+        entity_col=entity_col,
+        ts_col=ts_col,
+        window_s=window_s,
+        max_users=max_users,
+    )
     return (
         wc.alias("a")
         .join(wc.alias("b"), F.col("a.w") == F.col("b.w"))
@@ -76,6 +95,39 @@ def cooccurrence_graph(
             F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b")
         )
         .agg(F.count("*").alias("n_windows"))
+    )
+
+
+def copresence_temporal_edges(
+    events: DataFrame,
+    *,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    max_users: int = 64,
+) -> DataFrame:
+    """BOTH-direction temporal edges (src:long, dst:long, t:long) — one per
+    ordered pair of entities sharing a capped window, timestamped with the
+    window id. The co-presence temporal graph operators/temporal.py's
+    earliest-arrival diffusion runs over (same cap rationale as
+    cooccurrence_graph; same scale shape — the self-join fan-out is bounded
+    by the cap)."""
+    wc = _capped_window_users(
+        events,
+        entity_col=entity_col,
+        ts_col=ts_col,
+        window_s=window_s,
+        max_users=max_users,
+    )
+    return (
+        wc.alias("a")
+        .join(wc.alias("b"), F.col("a.w") == F.col("b.w"))
+        .where(F.col("a.u") != F.col("b.u"))
+        .select(
+            F.col("a.u").alias("src"),
+            F.col("b.u").alias("dst"),
+            F.col("a.w").alias("t"),
+        )
     )
 
 
