@@ -62,6 +62,8 @@ from .operators.richclub import rich_club
 from .operators.katz import katz_centrality
 from .operators.cooccurrence import copresence_temporal_edges
 from .operators.temporal import earliest_arrival
+from .operators.funnel import funnel
+from .operators.retention import cohort_retention
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1376,6 +1378,26 @@ def q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vertex", F.lit(0).cast("long").alias("t0"))
     )
     return earliest_arrival(spark, te, seeds).arrivals
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with a 48h first-touch
+    conversion window (operators/funnel.py; the window binds at sf0.01:
+    150/96/41 vs 150/150/150 unwindowed). Oracle: chained per-step
+    MIN(ROW(t, event_id)) scans."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev,
+        ["view", "click", "purchase"],
+        window_us=172_800_000_000,
+    )
+
+
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over the event log (operators/retention.py).
+    Oracle: plain-SQL replay."""
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period_s=86_400)
 
 
 def q_richclub_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3042,6 +3064,36 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "eigenvector_bipartite": _eigenvector_sql(4),
         "katz_bipartite": _katz_sql(6),
         "temporal_reach_events": _temporal_reach_sql(6),
+        "funnel_events": """WITH e AS MATERIALIZED (
+  SELECT user_id AS ent, epoch_us(ts) AS t, event_id AS tb, event_type AS s
+  FROM events WHERE event_type IN ('view','click','purchase')),
+s1 AS MATERIALIZED (SELECT ent, MIN(ROW(t, tb)) AS p
+  FROM e WHERE s = 'view' GROUP BY ent),
+s2 AS MATERIALIZED (SELECT e.ent, MIN(ROW(e.t, e.tb)) AS p
+  FROM e JOIN s1 ON e.ent = s1.ent
+  WHERE e.s = 'click' AND ROW(e.t, e.tb) > s1.p
+    AND e.t - (s1.p)[1] <= 172800000000
+  GROUP BY e.ent),
+s3 AS MATERIALIZED (SELECT e.ent, MIN(ROW(e.t, e.tb)) AS p
+  FROM e JOIN s2 ON e.ent = s2.ent JOIN s1 ON e.ent = s1.ent
+  WHERE e.s = 'purchase' AND ROW(e.t, e.tb) > s2.p
+    AND e.t - (s1.p)[1] <= 172800000000
+  GROUP BY e.ent)
+SELECT * FROM (VALUES
+  (1, 'view', (SELECT COUNT(*)::BIGINT FROM s1)),
+  (2, 'click', (SELECT COUNT(*)::BIGINT FROM s2)),
+  (3, 'purchase', (SELECT COUNT(*)::BIGINT FROM s3))
+) AS tt(step, step_name, n_entities)""",
+        "retention_events": """WITH ep AS MATERIALIZED (
+  SELECT DISTINCT user_id::BIGINT AS u,
+    epoch_us(ts) // 86400000000 AS p FROM events),
+coh AS MATERIALIZED (SELECT u, MIN(p) AS cohort FROM ep GROUP BY u),
+sz AS (SELECT cohort, COUNT(*)::BIGINT AS n_cohort FROM coh GROUP BY cohort),
+cells AS (SELECT c.cohort, ep.p - c.cohort AS k, COUNT(*)::BIGINT AS n_active
+  FROM ep JOIN coh c ON ep.u = c.u GROUP BY 1, 2)
+SELECT cells.cohort, k, n_active,
+  ROUND(n_active::DOUBLE / n_cohort, 6) AS retention
+FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "walks_tree": _walks_sql(6, 42),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
@@ -3431,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions_events": q_transitions_events,
         "richclub_copart": q_richclub_copart,
         "temporal_reach_events": q_temporal_reach_events,
+        "funnel_events": q_funnel_events,
+        "retention_events": q_retention_events,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
