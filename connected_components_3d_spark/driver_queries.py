@@ -64,6 +64,7 @@ from .operators.cooccurrence import copresence_temporal_edges
 from .operators.temporal import earliest_arrival
 from .operators.funnel import funnel
 from .operators.retention import cohort_retention
+from .operators.spreading import label_spreading
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1400,6 +1401,23 @@ def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period_s=86_400)
 
 
+def q_spreading_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O43 on the driver gate: label spreading (Zhou 2003 soft diffusion)
+    from the 5 region vertices (label = region id) over the symmetrized
+    tree graph, 4 fixed iterations, hash-compared against a chained-CTE
+    replay of the α·S·F + (1−α)·Y step (ROUND 8)."""
+    seeds = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("vertex"),
+        F.col("r_regionkey").cast("long").alias("label"),
+    )
+    res = label_spreading(
+        spark, tree_edges(spark, sf_dir), seeds, alpha=0.8, fixed_iters=4
+    )
+    return res.scores.select(
+        "vertex", "label", F.round("score", 8).alias("score")
+    )
+
+
 def q_richclub_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient φ(k) over the co-part graph (operators/
     richclub.py): hub-interconnection density at every observed degree
@@ -1730,6 +1748,52 @@ def _katz_sql(iters: int = 6, alpha: float = 0.1, beta: float = 1.0) -> str:
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT vertex, ROUND(x, 8) AS score FROM x{iters}"
+
+
+def _spreading_sql(iters: int = 4, alpha: float = 0.8) -> str:
+    """Chained-CTE replay of operators/spreading.py's fixed contract over
+    the symmetrized tree graph with region-vertex seeds: per iteration
+    F = α·S·F + (1−α)·Y on the sparse (vertex,label,score) relation. The
+    (1−α) factor is written ``(1.0 - α)`` so both engines compute the
+    identical float64; same AS MATERIALIZED + ROUND(…, 8) rationale as
+    _hits_sql."""
+    a = repr(alpha)
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM"
+        " (SELECT src AS u, dst AS v FROM te"
+        "  UNION ALL SELECT dst AS u, src AS v FROM te)"
+        " WHERE u <> v)",
+        "deg AS MATERIALIZED (SELECT u, COUNT(*)::BIGINT AS d"
+        " FROM und GROUP BY u)",
+        "ew AS MATERIALIZED (SELECT und.u, und.v,"
+        " 1.0/SQRT(du.d * dv.d) AS w FROM und"
+        " JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u)",
+        "y AS MATERIALIZED (SELECT r_regionkey::BIGINT AS vertex,"
+        " r_regionkey::BIGINT AS label, 1.0 AS y FROM region)",
+        "f0 AS MATERIALIZED (SELECT vertex, label, y AS score FROM y)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"sp{i} AS MATERIALIZED (SELECT e.v AS vertex, f.label,"
+            f" SUM(e.w * f.score) AS nbr FROM ew e"
+            f" JOIN f{p} f ON f.vertex = e.u GROUP BY e.v, f.label)"
+        )
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT"
+            f" COALESCE(s.vertex, y.vertex) AS vertex,"
+            f" COALESCE(s.label, y.label) AS label,"
+            f" {a}::DOUBLE * COALESCE(s.nbr, 0.0)"
+            f" + (1.0 - {a}::DOUBLE) * COALESCE(y.y, 0.0) AS score"
+            f" FROM sp{i} s FULL JOIN y"
+            f" ON y.vertex = s.vertex AND y.label = s.label)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT vertex, label, ROUND(score, 8) AS score"
+        f" FROM f{iters}"
+    )
 
 
 def _temporal_reach_sql(rounds: int = 6) -> str:
@@ -3064,6 +3128,7 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "eigenvector_bipartite": _eigenvector_sql(4),
         "katz_bipartite": _katz_sql(6),
         "temporal_reach_events": _temporal_reach_sql(6),
+        "spreading_tree": _spreading_sql(4),
         "funnel_events": """WITH e AS MATERIALIZED (
   SELECT user_id AS ent, epoch_us(ts) AS t, event_id AS tb, event_type AS s
   FROM events WHERE event_type IN ('view','click','purchase')),
@@ -3485,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_events": q_temporal_reach_events,
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
+        "spreading_tree": q_spreading_tree,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
