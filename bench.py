@@ -233,6 +233,11 @@ def main() -> None:
     run("densest_mixed", dq.q_densest_mixed)
     run("butterflies_bipartite", dq.q_butterflies_bipartite)
     run("ssjoin_documents", dq.q_ssjoin_documents)
+    run("katz_bipartite", dq.q_katz_bipartite)
+    run("spreading_tree", dq.q_spreading_tree)
+    run("cooccurrence_events", dq.q_cooccurrence_events)
+    run("funnel_events", dq.q_funnel_events)
+    run("temporal_reach_events", dq.q_temporal_reach_events)
     run("dedup_minhash_candidates", dq.q_dedup_minhash_candidates)
     run("dedup_simhash", dq.q_dedup_simhash)
     run("text_stats", dq.q_text_stats)

@@ -53,6 +53,11 @@ GATED_TOTALS = [
     "densest_mixed",
     "butterflies_bipartite",
     "ssjoin_documents",
+    "katz_bipartite",
+    "spreading_tree",
+    "cooccurrence_events",
+    "funnel_events",
+    "temporal_reach_events",
 ]
 
 
