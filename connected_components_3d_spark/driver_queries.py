@@ -61,10 +61,11 @@ from .operators.transitions import transition_matrix
 from .operators.richclub import rich_club
 from .operators.katz import katz_centrality
 from .operators.cooccurrence import copresence_temporal_edges
-from .operators.temporal import earliest_arrival
+from .operators.temporal import earliest_arrival, latest_departure
 from .operators.funnel import funnel
 from .operators.retention import cohort_retention
 from .operators.spreading import label_spreading
+from .operators.density import dbscan
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1381,6 +1382,26 @@ def q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return earliest_arrival(spark, te, seeds).arrivals
 
 
+def q_temporal_depart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The latest-departure dual on the same co-presence temporal graph:
+    targets = users with id % 101 == 0 at an unreachable-late deadline
+    (4·10¹² — every window id is ~1.9·10⁶, so the deadline never binds and
+    the value measured is pure path structure); measured fixpoint depth 5
+    at sf0.01 — the oracle replays 8 chained MAX/≤ rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    te = copresence_temporal_edges(ev, window_s=900, max_users=12)
+    targets = (
+        ev.select(F.col("user_id").cast("long").alias("vertex"))
+        .where(F.col("vertex") % 101 == 0)
+        .distinct()
+        .select(
+            "vertex", F.lit(4_000_000_000_000).cast("long").alias("t1")
+        )
+    )
+    res = latest_departure(spark, te, targets)
+    return res.arrivals.select("vertex", "departure")
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase with a 48h first-touch
     conversion window (operators/funnel.py; the window binds at sf0.01:
@@ -1428,6 +1449,50 @@ def q_richclub_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup / text / similarity (documents, embeddings)
 # ---------------------------------------------------------------------------
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline composition: near-dup groups (LSH →
+    Jaccard ≥ 0.6 → CC) joined with the text quality score; each group
+    keeps its best document (argmax quality, ties → min doc_id) — the
+    canonical-selection step every production dedup ends with. Oracle:
+    the dedup_groups recursive CTE + the text_stats quality CTE + a
+    per-group MAX(ROW(quality, −doc_id)) argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup.near_dup_groups(spark, docs, jaccard_threshold=0.6)
+    q = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        quality_score("text").alias("quality"),
+    )
+    m = F.max(
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col("doc_id")).alias("nid"),
+        )
+    )
+    return (
+        groups.join(q, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.count("*").alias("group_size"),
+            m.alias("_m"),
+        )
+        .select(
+            "group_id",
+            "group_size",
+            (-F.col("_m.nid")).alias("canonical_id"),
+            F.col("_m.q").alias("canonical_quality"),
+        )
+    )
+
+
+def q_dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O44 on the driver gate: DBSCAN over cosine neighborhoods of the
+    embeddings table (τ=0.3, min_pts=6 — 184 cores / 253 borders / 63
+    noise at sf0.01, all three roles populated). Oracle: recursive-CTE CC
+    over the identical ROUND(cos,6)-thresholded core graph."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dbscan(spark, emb, tau=0.3, min_pts=6)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1796,6 +1861,60 @@ def _spreading_sql(iters: int = 4, alpha: float = 0.8) -> str:
     )
 
 
+def _canonical_docs_sql() -> str:
+    """dedup_groups' recursive-CTE grouping composed with text_stats'
+    quality CTE and a per-group MAX(ROW(quality, −doc_id)) argmax — the
+    canonical-selection oracle (same fragments, same float parity: quality
+    is ROUND(…,6) in both engines)."""
+    toks = _TOK.format(c="text")
+    sw_all = _sqllist(_SW["en"] + _SW["de"] + _SW["fr"])
+    return f"""WITH RECURSIVE {_minhash_bands_cte(16, 2)},
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b,
+   len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS n_inter,
+   len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand c JOIN shs sa ON sa.id = c.id_a JOIN shs sb ON sb.id = c.id_b),
+jac AS (SELECT id_a, id_b,
+   ROUND(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS j FROM inter),
+e AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE j >= 0.6),
+es AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+reach(src, dst) AS (
+  SELECT src, dst FROM es
+  UNION
+  SELECT r.src, es.dst FROM reach r JOIN es ON es.src = r.dst),
+grp AS (SELECT src AS v, LEAST(src, MIN(dst)) AS g FROM reach GROUP BY src),
+g AS (SELECT d.doc_id::BIGINT AS doc_id,
+  COALESCE(grp.g, d.doc_id)::BIGINT AS group_id
+  FROM documents d LEFT JOIN grp ON grp.v = d.doc_id),
+qtok AS (SELECT doc_id, text, {toks} AS t FROM documents),
+qfeat AS (SELECT doc_id,
+  len(t) AS n_tokens,
+  CASE WHEN len(t) > 0 THEN
+    COALESCE(list_sum(list_transform(t, w -> length(w)::DOUBLE)), 0.0) / len(t)
+  ELSE 0.0 END AS mean_tok,
+  CASE WHEN length(text) > 0 THEN
+    len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))::DOUBLE / length(text)
+  ELSE 0.0 END AS punct_ratio,
+  CASE WHEN len(t) > 0 THEN
+    len(list_filter(t, w -> list_contains({sw_all}, w)))::DOUBLE / len(t)
+  ELSE 0.0 END AS stop_ratio
+ FROM qtok),
+qual AS (SELECT doc_id::BIGINT AS doc_id,
+  ROUND(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
+      + 0.2 * (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0
+               THEN 1.0 ELSE 0.5 END)
+      + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))
+      + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality FROM qfeat),
+jq AS (SELECT g.group_id, g.doc_id, q.quality
+  FROM g JOIN qual q ON q.doc_id = g.doc_id),
+agg AS (SELECT group_id, COUNT(*)::BIGINT AS group_size,
+  MAX(ROW(quality, -doc_id)) AS m FROM jq GROUP BY group_id)
+SELECT group_id, group_size, (-(m)[2])::BIGINT AS canonical_id,
+  (m)[1] AS canonical_quality FROM agg"""
+
+
 def _temporal_reach_sql(rounds: int = 6) -> str:
     """Chained-CTE full-relaxation replay of operators/temporal.py's
     earliest-arrival fixpoint over the events co-presence temporal graph
@@ -1829,6 +1948,42 @@ def _temporal_reach_sql(rounds: int = 6) -> str:
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT vertex, arrival FROM ea{rounds}"
+
+
+def _temporal_depart_sql(rounds: int = 8) -> str:
+    """Chained-CTE full-relaxation replay of operators/temporal.py's
+    latest-departure dual (MAX / ≤ with the relaxation running backward
+    along edges) on the 900s/cap-12 co-presence graph; targets id%101=0 at
+    deadline 4·10¹². Measured depth 5 at sf0.01; later rounds no-ops.
+    Integer-exact — hash match by construction."""
+    parts = [
+        "WITH wu AS MATERIALIZED (SELECT DISTINCT"
+        " epoch_us(ts) // 900000000 AS w, user_id AS u FROM events)",
+        "ok AS (SELECT w FROM wu GROUP BY w HAVING COUNT(*) <= 12)",
+        "wc AS MATERIALIZED"
+        " (SELECT wu.w, wu.u FROM wu JOIN ok ON wu.w = ok.w)",
+        "te AS MATERIALIZED (SELECT a.u AS src, b.u AS dst, a.w AS t"
+        " FROM wc a JOIN wc b ON a.w = b.w AND a.u <> b.u)",
+        "ld0 AS MATERIALIZED (SELECT DISTINCT user_id::BIGINT AS vertex,"
+        " 4000000000000::BIGINT AS departure FROM events"
+        " WHERE user_id % 101 = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT te.src AS vertex,"
+            f" MAX(te.t)::BIGINT AS departure FROM te JOIN ld{p} l"
+            f" ON te.dst = l.vertex AND te.t <= l.departure"
+            f" GROUP BY te.src)"
+        )
+        parts.append(
+            f"ld{i} AS MATERIALIZED (SELECT vertex,"
+            f" MAX(departure)::BIGINT AS departure FROM"
+            f" (SELECT * FROM ld{p} UNION ALL SELECT * FROM c{i})"
+            f" GROUP BY vertex)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, departure FROM ld{rounds}"
 
 
 def _walks_sql(steps: int = 6, seed: int = 42) -> str:
@@ -3129,6 +3284,28 @@ FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "katz_bipartite": _katz_sql(6),
         "temporal_reach_events": _temporal_reach_sql(6),
         "spreading_tree": _spreading_sql(4),
+        "dbscan_embeddings": f"""WITH RECURSIVE {_cosine_pairs_cte(64)},
+nbr AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE cos >= 0.3),
+deg AS (SELECT id_a AS id, COUNT(*) AS n FROM nbr GROUP BY id_a),
+allids AS (SELECT vec_id::BIGINT AS id FROM embeddings),
+core AS MATERIALIZED (SELECT a.id FROM allids a
+  LEFT JOIN deg ON deg.id = a.id WHERE COALESCE(deg.n, 0) + 1 >= 6),
+ce AS MATERIALIZED (SELECT n.id_a AS src, n.id_b AS dst FROM nbr n
+  JOIN core c1 ON n.id_a = c1.id JOIN core c2 ON n.id_b = c2.id),
+reach(src, dst) AS (
+  SELECT src, dst FROM ce
+  UNION
+  SELECT r.src, ce.dst FROM reach r JOIN ce ON ce.src = r.dst),
+grp AS (SELECT src AS v, LEAST(src, MIN(dst)) AS g FROM reach GROUP BY src),
+corec AS MATERIALIZED (SELECT c.id, COALESCE(grp.g, c.id)::BIGINT AS cluster,
+  'core' AS role FROM core c LEFT JOIN grp ON grp.v = c.id),
+borderc AS (SELECT n.id_a AS id, MIN(cc.cluster)::BIGINT AS cluster,
+  'border' AS role FROM nbr n JOIN corec cc ON cc.id = n.id_b
+  WHERE n.id_a NOT IN (SELECT id FROM core) GROUP BY n.id_a)
+SELECT id, cluster, role FROM corec
+UNION ALL SELECT id, cluster, role FROM borderc""",
+        "canonical_docs": _canonical_docs_sql(),
+        "temporal_depart_events": _temporal_depart_sql(8),
         "funnel_events": """WITH e AS MATERIALIZED (
   SELECT user_id AS ent, epoch_us(ts) AS t, event_id AS tb, event_type AS s
   FROM events WHERE event_type IN ('view','click','purchase')),
@@ -3551,6 +3728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
         "spreading_tree": q_spreading_tree,
+        "dbscan_embeddings": q_dbscan_embeddings,
+        "canonical_docs": q_canonical_docs,
+        "temporal_depart_events": q_temporal_depart_events,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,

@@ -119,6 +119,101 @@ def earliest_arrival(
     return TemporalReachResult(state, rounds, converged, metrics)
 
 
+def latest_departure(
+    spark: SparkSession,
+    tedges: DataFrame,
+    targets: DataFrame,
+    *,
+    time_col: str = "t",
+    max_rounds: int = 200,
+) -> TemporalReachResult:
+    """Latest time-respecting departure: ld(v) = the latest time one can
+    still stand at v and reach some target by its deadline (targets:
+    (vertex, t1)); an edge (v, u, t) is usable iff t ≤ ld(u) and departing
+    v at time t is possible iff t ≤ (current candidate) — so
+    ld(v) = max(deadline_v, max_{(v,u,t): t ≤ ld(u)} t). The dual of
+    ``earliest_arrival`` (Wu et al. VLDB 2014 call these the
+    latest-departure paths); same frontier envelope with (min, ≥)
+    flipped to (max, ≤) and the relaxation running BACKWARD along edges.
+    ``arrivals`` in the result carries (vertex, departure:long)."""
+    e = tedges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col(time_col).cast("long").alias("t"),
+    ).where(F.col("src") != F.col("dst"))
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # probe side is the DESTINATION: partition the cache by dst
+    e = e.repartition(p, "dst").sortWithinPartitions("dst").persist()
+    e.count()
+    state = _truncate(
+        targets.select(
+            F.col("vertex").cast("long"),
+            F.col("t1").cast("long").alias("departure"),
+        )
+        .groupBy("vertex")
+        .agg(F.max("departure").alias("departure"))
+    )
+    frontier = state
+    metrics: list[dict] = []
+    converged = False
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        cand = (
+            e.join(
+                frontier.select(
+                    F.col("vertex").alias("dst"),
+                    F.col("departure").alias("lu"),
+                ),
+                "dst",
+            )
+            .where(F.col("t") <= F.col("lu"))
+            .groupBy(F.col("src").alias("vertex"))
+            .agg(F.max("t").alias("nd"))
+        )
+        improved = (
+            cand.join(state, "vertex", "left")
+            .where(
+                F.col("departure").isNull()
+                | (F.col("nd") > F.col("departure"))
+            )
+            .select("vertex", F.col("nd").alias("departure"))
+        )
+        improved = _truncate(improved)
+        n_imp = improved.count()
+        metrics.append({"round": r, "improved": n_imp})
+        if n_imp == 0:
+            converged = True
+            break
+        rounds = r
+        state = _truncate(
+            state.join(improved.select("vertex"), "vertex", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    e.unpersist()
+    return TemporalReachResult(state, rounds, converged, metrics)
+
+
+def latest_departure_single_node(
+    tedges: list[tuple[int, int, int]],
+    targets: list[tuple[int, int]],
+) -> dict[int, int]:
+    """Single-node reference for latest_departure (full relaxation)."""
+    ld: dict[int, int] = {}
+    for v, t1 in targets:
+        ld[v] = max(ld.get(v, t1), t1)
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in tedges:
+            if u == v or v not in ld or t > ld[v]:
+                continue
+            if u not in ld or t > ld[u]:
+                ld[u] = t
+                changed = True
+    return ld
+
+
 def earliest_arrival_single_node(
     tedges: list[tuple[int, int, int]],
     seeds: list[tuple[int, int]],

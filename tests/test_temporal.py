@@ -8,6 +8,8 @@ import random
 from connected_components_3d_spark.operators.temporal import (
     earliest_arrival,
     earliest_arrival_single_node,
+    latest_departure,
+    latest_departure_single_node,
 )
 
 
@@ -69,6 +71,56 @@ def test_multi_seed_min_and_self_loop_ignored(spark):
         [(0, 0), (1, 0), (1, 2)],
     )
     assert got == {0: 0, 1: 0, 2: 4}
+
+
+def assert_ld_parity(spark, tedges, targets, **kw):
+    te = spark.createDataFrame(
+        [(int(a), int(b), int(t)) for a, b, t in tedges],
+        "src long, dst long, t long",
+    )
+    tg = spark.createDataFrame(
+        [(int(v), int(t)) for v, t in targets], "vertex long, t1 long"
+    )
+    res = latest_departure(spark, te, tg, **kw)
+    got = {r["vertex"]: r["departure"] for r in res.arrivals.collect()}
+    assert got == latest_departure_single_node(tedges, targets)
+    return res, got
+
+
+def test_latest_departure_parity_random(spark):
+    rng = random.Random(29)
+    tedges = [
+        (rng.randrange(0, 30), rng.randrange(0, 30), rng.randrange(0, 40))
+        for _ in range(300)
+    ]
+    res, got = assert_ld_parity(spark, tedges, [(0, 100), (9, 100)])
+    assert res.converged and got[0] >= 100
+
+
+def test_latest_departure_chain(spark):
+    # 0 -(t=2)-> 1 -(t=5)-> 2 (target, deadline 10): leave 0 no later
+    # than 2; leave 1 no later than 5
+    res, got = assert_ld_parity(
+        spark, [(0, 1, 2), (1, 2, 5)], [(2, 10)]
+    )
+    assert got == {0: 2, 1: 5, 2: 10}
+    # deadline below the 1->2 edge time cuts the whole chain
+    res, got = assert_ld_parity(
+        spark, [(0, 1, 2), (1, 2, 5)], [(2, 4)]
+    )
+    assert got == {2: 4}
+
+
+def test_latest_departure_duality_with_earliest_arrival(spark):
+    # on the reversed graph with negated times, ld(targets at -0) is the
+    # mirror of ea(seeds at 0): verify reachability sets coincide
+    tedges = [(0, 1, 3), (1, 2, 7), (2, 3, 9), (4, 0, 1)]
+    _, ea = assert_parity(spark, tedges, [(0, 0)])
+    rev = [(b, a, -t) for a, b, t in tedges]
+    _, ld = assert_ld_parity(spark, rev, [(0, 0)])
+    assert set(ea) == set(ld)
+    for v in ea:
+        assert ld[v] == -ea[v]
 
 
 def test_unreachable_omitted_and_empty(spark):
