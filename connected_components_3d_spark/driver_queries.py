@@ -66,6 +66,7 @@ from .operators.funnel import funnel
 from .operators.retention import cohort_retention
 from .operators.spreading import label_spreading
 from .operators.density import dbscan
+from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1527,6 +1528,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id("text").alias("lang_pred"),
         quality_score("text").alias("quality"),
     )
+
+
+def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O46a: top-3 TF-IDF terms per document (operators/ranking.py) —
+    smooth idf, rank ties (tfidf DESC, term ASC). rank cast long to match
+    DuckDB's BIGINT ROW_NUMBER."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf_topk(docs, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O46b: Okapi BM25 scores for the fixed query (spark, join, window)
+    over every matching document; per-term contributions rounded before the
+    sum (ranking.py module contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "join", "window"])
+
+
+def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O46c: inverted index over documents — postings as aligned
+    (doc_ids, tfs) arrays sorted by doc_id (engine-identical stringify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2)
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3624,6 +3650,40 @@ SELECT id_a, id_b,
   ROUND(n_inter::DOUBLE / (n_a + n_b - n_inter), 6) AS jaccard FROM inter""",
         "dedup_simhash": _simhash_sql(16),
         "text_stats": _text_stats_sql(),
+        "tfidf_docs": f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {_TOK.format(c='text')} AS t FROM documents),
+post AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, term),
+dfc AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+scored AS (SELECT p.doc_id, p.term,
+  ROUND(p.tf * (ln((1.0 + n.n) / (1.0 + dfc.df)) + 1.0), 6) AS tfidf
+  FROM post p JOIN dfc USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, tfidf, ROW_NUMBER() OVER
+  (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM scored)
+SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3""",
+        "bm25_docs": f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {_TOK.format(c='text')} AS t FROM documents),
+post AS (SELECT doc_id, len(t)::BIGINT AS dl, term, COUNT(*)::BIGINT AS tf
+  FROM toks, UNNEST(t) AS u(term)
+  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, len(t), term),
+stats AS (SELECT (SELECT SUM(len(t))::DOUBLE FROM toks)
+    / (SELECT COUNT(*) FROM documents) AS avgdl,
+  (SELECT COUNT(*)::DOUBLE FROM documents) AS n),
+dfc AS (SELECT term, COUNT(*)::BIGINT AS df FROM post GROUP BY term),
+c AS (SELECT p.doc_id,
+  ROUND(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * 2.2
+    / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)), 6) AS c
+  FROM post p JOIN dfc d USING (term) CROSS JOIN stats s)
+SELECT doc_id, ROUND(SUM(c), 6) AS score FROM c GROUP BY doc_id""",
+        "inverted_index_docs": f"""WITH toks AS (SELECT
+  doc_id::BIGINT AS doc_id, {_TOK.format(c='text')} AS t FROM documents),
+post AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, term),
+agg AS (SELECT term, COUNT(*)::BIGINT AS df,
+  list(doc_id ORDER BY doc_id) AS doc_ids,
+  list(tf ORDER BY doc_id) AS tfs FROM post GROUP BY term)
+SELECT term, df, doc_ids, tfs FROM agg WHERE df >= 2""",
         "text_fingerprint": _fingerprint_sql(),
         "similarity_topk": f"""WITH {_cosine_pairs_cte(64)}
 SELECT id_a, id_b, cos, rn FROM (SELECT id_a, id_b, cos,
@@ -3737,6 +3797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "text_stats": q_text_stats,
+        "tfidf_docs": q_tfidf_docs,
+        "bm25_docs": q_bm25_docs,
+        "inverted_index_docs": q_inverted_index_docs,
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
         "embedding_near_dup": q_embedding_near_dup,
