@@ -66,6 +66,7 @@ from .operators.funnel import funnel
 from .operators.retention import cohort_retention
 from .operators.spreading import label_spreading
 from .operators.density import dbscan
+from .operators.collocations import pmi_bigrams
 from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
@@ -1546,6 +1547,14 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (ranking.py module contract)."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, ["spark", "join", "window"])
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O46d: PMI bigram collocations (operators/collocations.py) — adjacent
+    ordered token pairs with n >= 3; one ln, one ROUND(·,6), exact integer
+    counts so the gate hash is bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_bigrams(docs, min_count=3)
 
 
 def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3676,6 +3685,21 @@ c AS (SELECT p.doc_id,
     / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)), 6) AS c
   FROM post p JOIN dfc d USING (term) CROSS JOIN stats s)
 SELECT doc_id, ROUND(SUM(c), 6) AS score FROM c GROUP BY doc_id""",
+        "pmi_collocations": f"""WITH toks AS (SELECT
+  {_TOK.format(c='text')} AS t FROM documents),
+bg AS (SELECT u.p.w1 AS w1, u.p.w2 AS w2 FROM toks,
+  UNNEST(list_transform(range(1, len(t)),
+    i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u(p)),
+uni AS (SELECT u.w AS w, COUNT(*)::BIGINT AS c
+  FROM toks, UNNEST(t) AS u(w) GROUP BY u.w),
+tot AS (SELECT (SELECT SUM(len(t))::DOUBLE FROM toks) AS t_total,
+  (SELECT SUM(greatest(len(t) - 1, 0))::DOUBLE FROM toks) AS b_total),
+big AS (SELECT w1, w2, COUNT(*)::BIGINT AS n FROM bg GROUP BY w1, w2)
+SELECT b.w1, b.w2, b.n,
+  ROUND(ln((b.n / s.b_total)
+    / ((u1.c / s.t_total) * (u2.c / s.t_total))), 6) AS pmi
+FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot s WHERE b.n >= 3""",
         "inverted_index_docs": f"""WITH toks AS (SELECT
   doc_id::BIGINT AS doc_id, {_TOK.format(c='text')} AS t FROM documents),
 post AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
@@ -3799,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
+        "pmi_collocations": q_pmi_collocations,
         "inverted_index_docs": q_inverted_index_docs,
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
