@@ -67,6 +67,7 @@ from .operators.retention import cohort_retention
 from .operators.spreading import label_spreading
 from .operators.density import dbscan
 from .operators.collocations import pmi_bigrams
+from .operators.repetition import repetition_features
 from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
@@ -1557,6 +1558,14 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(docs, min_count=3)
 
 
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O47: Gopher repetition filters (operators/repetition.py) — per-doc
+    top-{2,3,4}-gram and duplicated-{5,10}-gram character-mass fractions;
+    integer masses, one division + LEAST + ROUND(.,6) per cell."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
 def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O46c: inverted index over documents — postings as aligned
     (doc_ids, tfs) arrays sorted by doc_id (engine-identical stringify)."""
@@ -1894,6 +1903,54 @@ def _spreading_sql(iters: int = 4, alpha: float = 0.8) -> str:
         f"{body}\nSELECT vertex, label, ROUND(score, 8) AS score"
         f" FROM f{iters}"
     )
+
+
+def _repetition_sql(
+    top_ns: tuple[int, ...] = (2, 3, 4), dup_ns: tuple[int, ...] = (5, 10)
+) -> str:
+    """operators/repetition.py replay: per-n UNNEST(range) gram streams,
+    one (doc,n,gram) count, struct-MAX top fold (lexicographic (count,
+    mass) — same tie rule as Spark's max(struct)), conditional dup sum,
+    integer masses end to end; the only float work is one division +
+    LEAST + ROUND(.,6) per output cell."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = _TOK.format(c="coalesce(text, '')")
+    gram_parts = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {n} AS n, array_to_string(t[i:i+{n - 1}], '_') AS g"
+        f" FROM toks, UNNEST(range(1, len(t) - {n} + 2)) u(i)"
+        f" WHERE len(t) >= {n}"
+        for n in all_ns
+    )
+    wide_cols = ",\n  ".join(
+        [
+            f"MAX(CASE WHEN n = {n} THEN s.c * s.m END) AS top{n}m"
+            for n in top_ns
+        ]
+        + [f"MAX(CASE WHEN n = {n} THEN dupm END) AS dup{n}m" for n in dup_ns]
+    )
+    out_cols = ",\n  ".join(
+        f"ROUND(CASE WHEN total > 0 THEN"
+        f" LEAST(1.0, COALESCE({kind}{n}m, 0) / total)"
+        f" ELSE 0.0 END, 6) AS {kind}_{n}gram_frac"
+        for kind, ns in (("top", top_ns), ("dup", dup_ns))
+        for n in ns
+    )
+    return f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {toks} AS t FROM documents),
+tot AS (SELECT doc_id, length(array_to_string(t, '')) AS total FROM toks),
+grams AS (
+{gram_parts}),
+cnt AS (SELECT doc_id, n, g, COUNT(*)::BIGINT AS c,
+  length(g) - (n - 1) AS cm FROM grams GROUP BY doc_id, n, g),
+pern AS (SELECT doc_id, n, max({{'c': c, 'm': cm}}) AS s,
+  SUM(CASE WHEN c >= 2 THEN c * cm ELSE 0 END)::BIGINT AS dupm
+  FROM cnt GROUP BY doc_id, n),
+wide AS (SELECT doc_id,
+  {wide_cols}
+  FROM pern GROUP BY doc_id)
+SELECT t.doc_id,
+  {out_cols}
+FROM tot t LEFT JOIN wide w USING (doc_id)"""
 
 
 def _canonical_docs_sql() -> str:
@@ -3700,6 +3757,7 @@ SELECT b.w1, b.w2, b.n,
     / ((u1.c / s.t_total) * (u2.c / s.t_total))), 6) AS pmi
 FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
 CROSS JOIN tot s WHERE b.n >= 3""",
+        "repetition_docs": _repetition_sql(),
         "inverted_index_docs": f"""WITH toks AS (SELECT
   doc_id::BIGINT AS doc_id, {_TOK.format(c='text')} AS t FROM documents),
 post AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
@@ -3824,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
         "pmi_collocations": q_pmi_collocations,
+        "repetition_docs": q_repetition_docs,
         "inverted_index_docs": q_inverted_index_docs,
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
