@@ -147,6 +147,16 @@ def main() -> None:
         # resident python workers + a fragmented heap that reads as a
         # +10-15% PR-iteration artifact (round-4 interleaved A/B vs the
         # round-2 pin, BENCH.md §3)
+        if KERNELS_ONLY:
+            # warm the Arrow/mapInPandas path before timing: in FULL runs
+            # cc_pages ran blockuf already, and the snapshot pin was
+            # measured under that order — without this the kernels-only
+            # best-of-2 reads 17-21s of pure first-call JIT/worker-spawn
+            # against an 11s pin (isolated reps measured 29/18/12/11s on
+            # identical code)
+            connected_components(
+                spark, synth.limit(200_000), method="blockuf"
+            )
         t, res = timed_best2(
             lambda: connected_components(spark, synth, method="blockuf")
         )
