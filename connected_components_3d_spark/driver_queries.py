@@ -68,6 +68,7 @@ from .operators.spreading import label_spreading
 from .operators.density import dbscan
 from .operators.collocations import pmi_bigrams
 from .operators.repetition import repetition_features
+from .operators.lm import lm_perplexity
 from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
@@ -1566,6 +1567,14 @@ def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O48: bigram-LM perplexity scoring (operators/lm.py) — add-k smoothed
+    self-trained model, k=0.1; per-occurrence log-probs quantized to integer
+    micro-nats BEFORE the per-doc sum so the fold is order-insensitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(docs, k=0.1)
+
+
 def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O46c: inverted index over documents — postings as aligned
     (doc_ids, tfs) arrays sorted by doc_id (engine-identical stringify)."""
@@ -1951,6 +1960,42 @@ wide AS (SELECT doc_id,
 SELECT t.doc_id,
   {out_cols}
 FROM tot t LEFT JOIN wide w USING (doc_id)"""
+
+
+def _lm_perplexity_sql(k: float = 0.1) -> str:
+    """operators/lm.py replay: add-k smoothed bigram LM, self-trained.
+    Float contract mirrored exactly — k enters as {k!r}::DOUBLE (a bare
+    0.1 literal would be DECIMAL in DuckDB and drift), per-occurrence ln p
+    is quantized CAST(ROUND(ln(p)*1e6) AS BIGINT) before the per-doc sum
+    (integer fold, order-insensitive), ROUND(.,6) on the two outputs."""
+    toks = _TOK.format(c="coalesce(text, '')")
+    kd = f"{k!r}::DOUBLE"
+    return f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {toks} AS t FROM documents),
+uni AS (SELECT u.w AS w, COUNT(*)::BIGINT AS c
+  FROM toks, UNNEST(t) u(w) GROUP BY u.w),
+st AS (SELECT SUM(c)::BIGINT AS t_total, COUNT(*)::BIGINT AS v FROM uni),
+big AS (SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*)::BIGINT AS c12
+  FROM toks, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2
+  GROUP BY t[i], t[i + 1]),
+prs AS (SELECT doc_id,
+    CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS w1, t[i] AS w2
+  FROM toks, UNNEST(range(1, len(t) + 1)) u(i) WHERE len(t) >= 1),
+grp AS (SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS occ
+  FROM prs GROUP BY doc_id, w1, w2),
+sc AS (SELECT g.doc_id, g.occ,
+  CAST(ROUND(ln(CASE WHEN g.w1 IS NULL
+    THEN (COALESCE(u2.c, 0) + {kd}) / (s.t_total + {kd} * s.v)
+    ELSE (COALESCE(b.c12, 0) + {kd}) / (COALESCE(u1.c, 0) + {kd} * s.v)
+    END) * 1e6, 0) AS BIGINT) * g.occ AS lp_int
+  FROM grp g CROSS JOIN st s
+  LEFT JOIN uni u2 ON u2.w = g.w2
+  LEFT JOIN uni u1 ON u1.w = g.w1
+  LEFT JOIN big b ON b.w1 = g.w1 AND b.w2 = g.w2)
+SELECT doc_id, SUM(occ)::BIGINT AS n_tokens,
+  ROUND(-(SUM(lp_int) / 1e6) / SUM(occ), 6) AS cross_entropy,
+  ROUND(exp(-(SUM(lp_int) / 1e6) / SUM(occ)), 6) AS perplexity
+FROM sc GROUP BY doc_id"""
 
 
 def _canonical_docs_sql() -> str:
@@ -3758,6 +3803,7 @@ SELECT b.w1, b.w2, b.n,
 FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
 CROSS JOIN tot s WHERE b.n >= 3""",
         "repetition_docs": _repetition_sql(),
+        "lm_perplexity_docs": _lm_perplexity_sql(),
         "inverted_index_docs": f"""WITH toks AS (SELECT
   doc_id::BIGINT AS doc_id, {_TOK.format(c='text')} AS t FROM documents),
 post AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
@@ -3883,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_docs": q_bm25_docs,
         "pmi_collocations": q_pmi_collocations,
         "repetition_docs": q_repetition_docs,
+        "lm_perplexity_docs": q_lm_perplexity_docs,
         "inverted_index_docs": q_inverted_index_docs,
         "text_fingerprint": q_text_fingerprint,
         "similarity_topk": q_similarity_topk,
