@@ -66,6 +66,8 @@ from .operators.funnel import funnel
 from .operators.retention import cohort_retention
 from .operators.spreading import label_spreading
 from .operators.density import dbscan
+from .operators.anchor import anchor_summary, anchor_term_profile
+from .operators.ngramdedup import dup_ngram_stats, dup_ngrams_topk
 from .operators.collocations import pmi_bigrams
 from .operators.repetition import repetition_features
 from .operators.lm import lm_perplexity
@@ -1557,6 +1559,47 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts so the gate hash is bit-stable."""
     docs = load_table(spark, sf_dir, "documents")
     return pmi_bigrams(docs, min_count=3)
+
+
+def _anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic anchor-edge fixture: every document links to target
+    page (doc_id % 97) with its own text as the anchor — varied anchors per
+    target, no synthesis outside the sf tables."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("src"),
+        (F.col("doc_id") % F.lit(97)).cast("long").alias("dst"),
+        F.col("text").alias("anchor"),
+    )
+
+
+def q_anchor_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O49: anchor-text aggregation (operators/anchor.py) — each target's
+    top-3 anchor terms, a term counted once per distinct linking source,
+    ties broken by term ascending. Exact integer counts, hash-stable."""
+    return anchor_term_profile(_anchor_edges(spark, sf_dir), k=3)
+
+
+def q_anchor_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O49b: per-target inlink / distinct-source / distinct-vocabulary
+    counts over the same anchor-edge fixture."""
+    return anchor_summary(_anchor_edges(spark, sf_dir))
+
+
+def q_dup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O50: cross-document duplicated 5-gram spans (operators/ngramdedup.py)
+    — per doc: total tokens, duplicated-gram positions, covered-position
+    union, ROUND(·,6) coverage fraction. Exact integers + one division."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=5)
+
+
+def q_dup_ngrams_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O50b: the 20 most widespread duplicated 5-grams by
+    (docs DESC, occurrences DESC, gram ASC) — deterministic total order so
+    the top-k set is hash-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngrams_topk(docs, n=5, k=20)
 
 
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3802,6 +3845,56 @@ SELECT b.w1, b.w2, b.n,
     / ((u1.c / s.t_total) * (u2.c / s.t_total))), 6) AS pmi
 FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
 CROSS JOIN tot s WHERE b.n >= 3""",
+        "anchor_profile_docs": f"""WITH e AS (SELECT
+  (doc_id % 97)::BIGINT AS dst, doc_id::BIGINT AS src,
+  {_TOK.format(c='text')} AS t FROM documents),
+terms AS (SELECT DISTINCT dst, src, u.term FROM e, UNNEST(t) AS u(term)),
+cnt AS (SELECT dst, term, COUNT(*)::BIGINT AS n FROM terms
+  GROUP BY dst, term),
+rk AS (SELECT dst, term, n, ROW_NUMBER() OVER (
+    PARTITION BY dst ORDER BY n DESC, term)::BIGINT AS rank FROM cnt)
+SELECT dst, term, n, rank FROM rk WHERE rank <= 3""",
+        "anchor_summary_docs": f"""WITH e AS (SELECT
+  (doc_id % 97)::BIGINT AS dst, doc_id::BIGINT AS src,
+  {_TOK.format(c='text')} AS t FROM documents),
+links AS (SELECT dst, COUNT(*)::BIGINT AS inlinks,
+  COUNT(DISTINCT src)::BIGINT AS sources FROM e GROUP BY dst),
+vocab AS (SELECT dst, COUNT(*)::BIGINT AS terms FROM
+  (SELECT DISTINCT dst, u.term FROM e, UNNEST(t) AS u(term)) GROUP BY dst)
+SELECT l.dst, l.inlinks, l.sources,
+  COALESCE(v.terms, 0)::BIGINT AS terms
+FROM links l LEFT JOIN vocab v ON v.dst = l.dst""",
+        "dup_ngram_docs": f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {_TOK.format(c='text')} AS t FROM documents),
+grams AS (SELECT doc_id, i AS pos,
+  array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+dup AS (SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2),
+dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+dg AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_grams FROM dpos
+  GROUP BY doc_id),
+cov AS (SELECT doc_id, COUNT(*)::BIGINT AS covered FROM (
+  SELECT DISTINCT doc_id, u.cp FROM dpos,
+    UNNEST(range(pos, pos + 5)) AS u(cp)) GROUP BY doc_id),
+tot AS (SELECT doc_id, len(t)::BIGINT AS total_tokens FROM toks)
+SELECT t.doc_id, t.total_tokens,
+  COALESCE(d.dup_grams, 0)::BIGINT AS dup_grams,
+  COALESCE(c.covered, 0)::BIGINT AS covered_tokens,
+  CASE WHEN t.total_tokens = 0 THEN 0.0
+    ELSE ROUND(COALESCE(c.covered, 0) / t.total_tokens, 6)
+  END AS dup_frac
+FROM tot t LEFT JOIN dg d ON d.doc_id = t.doc_id
+LEFT JOIN cov c ON c.doc_id = t.doc_id""",
+        "dup_ngrams_topk_docs": f"""WITH toks AS (SELECT
+  doc_id::BIGINT AS doc_id, {_TOK.format(c='text')} AS t FROM documents),
+grams AS (SELECT doc_id,
+  array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+agg AS (SELECT gram, COUNT(DISTINCT doc_id)::BIGINT AS docs,
+  COUNT(*)::BIGINT AS occurrences FROM grams GROUP BY gram)
+SELECT gram, docs, occurrences FROM agg WHERE docs >= 2
+ORDER BY docs DESC, occurrences DESC, gram ASC LIMIT 20""",
         "repetition_docs": _repetition_sql(),
         "lm_perplexity_docs": _lm_perplexity_sql(),
         "inverted_index_docs": f"""WITH toks AS (SELECT
@@ -3928,6 +4021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
         "pmi_collocations": q_pmi_collocations,
+        "anchor_profile_docs": q_anchor_profile_docs,
+        "anchor_summary_docs": q_anchor_summary_docs,
+        "dup_ngram_docs": q_dup_ngram_docs,
+        "dup_ngrams_topk_docs": q_dup_ngrams_topk_docs,
         "repetition_docs": q_repetition_docs,
         "lm_perplexity_docs": q_lm_perplexity_docs,
         "inverted_index_docs": q_inverted_index_docs,
