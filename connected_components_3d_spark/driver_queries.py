@@ -68,6 +68,10 @@ from .operators.spreading import label_spreading
 from .operators.density import dbscan
 from .operators.anchor import anchor_summary, anchor_term_profile
 from .operators.ngramdedup import dup_ngram_stats, dup_ngrams_topk
+from .operators.topo import topo_levels
+from .operators.sessions import session_stats, sessionize
+from .operators.corpus import heaps_curve, zipf_alpha, zipf_topk
+from .operators.decontam import clean_corpus, contamination_stats
 from .operators.collocations import pmi_bigrams
 from .operators.repetition import repetition_features
 from .operators.lm import lm_perplexity
@@ -636,6 +640,38 @@ def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kcore import core_numbers
 
     return core_numbers(spark, tree_ring_edges(spark, sf_dir)).cores
+
+
+def dag_layer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic layered DAG over customers: ids 1..n in 16-aligned
+    blocks, pos = (v−1) % 16; edges v→v+1 (pos ≤ 14), v→v+2 (pos ≤ 13),
+    v→v+17 (pos ≤ 14). Every edge strictly increases pos (pos(v+17) =
+    pos+1), so the graph is acyclic with depth ≤ 15, multi-parent diamonds
+    and cross-block paths — a full 16-round Kahn peel with varied fan-in."""
+    customer = load_table(spark, sf_dir, "customer")
+    n = customer.count()  # scalar only: custkeys are 1..n contiguous
+    base = customer.selectExpr(
+        "CAST(c_custkey AS BIGINT) AS v",
+        "CAST((c_custkey - 1) % 16 AS BIGINT) AS pos",
+    )
+    e1 = base.where(f"pos <= 14 AND v + 1 <= {n}").selectExpr(
+        "v AS src", "v + 1 AS dst"
+    )
+    e2 = base.where(f"pos <= 13 AND v + 2 <= {n}").selectExpr(
+        "v AS src", "v + 2 AS dst"
+    )
+    e3 = base.where(f"pos <= 14 AND v + 17 <= {n}").selectExpr(
+        "v AS src", "v + 17 AS dst"
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+def q_topo_levels_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O51 on the driver gate: longest-path topological levels of the
+    layered customer DAG via distributed Kahn peeling (operators/topo.py).
+    Levels are UNIQUE for a DAG, so the gate hash-compares the converged
+    Spark output against a fixed-round chained-CTE replay of the peel."""
+    return topo_levels(spark, dag_layer_edges(spark, sf_dir)).levels
 
 
 def q_neighborhood_function_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1421,6 +1457,27 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 43_200_000_000  # 12h — binding at sf0.01: 3292 sessions/10k events
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O54: gap-based sessionization of the event log (operators/
+    sessions.py) — 12h inactivity timeout, strictly-greater boundary,
+    (ts, event_id) stream order. Oracle: the identical lag + running-sum
+    window replay in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, _SESSION_GAP_US).select(
+        "user_id", "event_id", "session_idx", "session_seq"
+    )
+
+
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O54 rollup: per-session n_events / start_us / end_us / duration_us /
+    distinct event-type count at the same 12h gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, _SESSION_GAP_US)
+
+
 def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention over the event log (operators/retention.py).
     Oracle: plain-SQL replay."""
@@ -1600,6 +1657,58 @@ def q_dup_ngrams_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k set is hash-stable."""
     docs = load_table(spark, sf_dir, "documents")
     return dup_ngrams_topk(docs, n=5, k=20)
+
+
+def q_heaps_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O52: Heaps'-law vocabulary-growth curve (operators/corpus.py) — per
+    doc (in doc_id order) its token count, never-seen-before term count,
+    and cumulative token/vocabulary totals via the two-pass distributed
+    prefix scan (range partials + broadcast offsets; no single-partition
+    window). Exact integers, hash-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_curve(docs)
+
+
+def q_zipf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O52b: the 50 most frequent corpus terms ranked under the
+    deterministic (freq DESC, term ASC) total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_topk(docs, k=50)
+
+
+def q_zipf_alpha_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O52c: CSN discrete power-law MLE over term frequencies ≥ 2 — the
+    corpus Zipf exponent, one row, ROUND(·,8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_alpha(docs, f_min=2)
+
+
+def _benchmark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic eval-set fixture: every 17th document plays the
+    benchmark (the planted leak — those docs are verbatim in the corpus, so
+    their contam_frac is exactly 1.0; everything else only hits via natural
+    5-gram collisions in the synthetic vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where("doc_id % 17 = 0").select("text")
+
+
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O53: benchmark decontamination (operators/decontam.py) — per-doc
+    5-gram overlap vs the doc_id%17 eval fixture: hit-gram positions,
+    covered-position union, ROUND(·,6) fraction, any-collision flag.
+    Exact integers + one division; LEFT SEMI gram join, never broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_stats(docs, _benchmark_docs(spark, sf_dir), n=5)
+
+
+def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O53b: the decontaminated corpus id set — docs surviving the strict
+    any-collision rule (contam_frac > 0 drops), via LEFT ANTI join so the
+    full document schema rides through; projected to ids for the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs, _benchmark_docs(spark, sf_dir), n=5).select(
+        "doc_id"
+    )
 
 
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3068,6 +3177,53 @@ WHERE src_host <> '' AND dst_host <> ''
 GROUP BY src_host"""
 
 
+_DAG_LAYER_EDGES_SQL = """(
+  SELECT c_custkey::BIGINT AS src, (c_custkey + 1)::BIGINT AS dst
+  FROM customer WHERE (c_custkey - 1) % 16 <= 14
+    AND c_custkey + 1 <= (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT c_custkey::BIGINT, (c_custkey + 2)::BIGINT
+  FROM customer WHERE (c_custkey - 1) % 16 <= 13
+    AND c_custkey + 2 <= (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT c_custkey::BIGINT, (c_custkey + 17)::BIGINT
+  FROM customer WHERE (c_custkey - 1) % 16 <= 14
+    AND c_custkey + 17 <= (SELECT COUNT(*) FROM customer)
+)"""
+
+
+def _topo_sql(edge_sql: str, rounds: int) -> str:
+    """Fixed-round chained-CTE Kahn replay of operators/topo.py: round i
+    peels the zero-in-degree vertices at level i. Levels are unique for a
+    DAG, so any round budget ≥ depth+1 reproduces them (extra rounds peel
+    nothing). AS MATERIALIZED everywhere — DuckDB 1.0 re-inlines
+    multi-referenced chained CTEs combinatorially otherwise."""
+    parts = [
+        f"WITH raw AS MATERIALIZED {edge_sql}",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw)",
+        "v0 AS MATERIALIZED (SELECT src AS vertex FROM e0"
+        " UNION SELECT dst FROM e0)",
+    ]
+    sels = []
+    for i in range(rounds):
+        parts.append(
+            f"z{i} AS MATERIALIZED (SELECT vertex FROM v{i}"
+            f" WHERE vertex NOT IN (SELECT dst FROM e{i}))"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT src, dst FROM e{i}"
+            f" WHERE src NOT IN (SELECT vertex FROM z{i}))"
+        )
+        parts.append(
+            f"v{i + 1} AS MATERIALIZED (SELECT vertex FROM v{i}"
+            f" WHERE vertex NOT IN (SELECT vertex FROM z{i}))"
+        )
+        sels.append(f"SELECT vertex, {i}::BIGINT AS level FROM z{i}")
+    body = ",\n".join(parts)
+    union = "\nUNION ALL ".join(sels)
+    return f"{body}\n{union}"
+
+
 def _kcore_sql(edge_sql: str, k: int, rounds: int) -> str:
     """Fixed-round chained-CTE peel replay of operators/kcore.py: the k-core
     is UNIQUE, so any round budget ≥ the fixpoint depth reproduces it (extra
@@ -3506,6 +3662,33 @@ SELECT * FROM (VALUES
   (2, 'click', (SELECT COUNT(*)::BIGINT FROM s2)),
   (3, 'purchase', (SELECT COUNT(*)::BIGINT FROM s3))
 ) AS tt(step, step_name, n_entities)""",
+        "sessionize_events": """WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+l AS MATERIALIZED (SELECT user_id, event_id, t,
+  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 43200000000
+       THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+lab AS (SELECT user_id, event_id, t,
+  SUM(b) OVER (PARTITION BY user_id ORDER BY t, event_id)::BIGINT
+    AS session_idx FROM l)
+SELECT user_id, event_id, session_idx,
+  ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                     ORDER BY t, event_id)::BIGINT AS session_seq
+FROM lab""",
+        "session_stats_events": """WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+l AS MATERIALIZED (SELECT user_id, event_id, event_type, t,
+  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 43200000000
+       THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+lab AS (SELECT user_id, event_type, t,
+  SUM(b) OVER (PARTITION BY user_id ORDER BY t, event_id)::BIGINT
+    AS session_idx FROM l)
+SELECT user_id, session_idx, COUNT(*)::BIGINT AS n_events,
+  MIN(t) AS start_us, MAX(t) AS end_us,
+  (MAX(t) - MIN(t))::BIGINT AS duration_us,
+  COUNT(DISTINCT event_type)::BIGINT AS n_types
+FROM lab GROUP BY user_id, session_idx""",
         "retention_events": """WITH ep AS MATERIALIZED (
   SELECT DISTINCT user_id::BIGINT AS u,
     epoch_us(ts) // 86400000000 AS p FROM events),
@@ -3577,6 +3760,7 @@ GROUP BY 1, 2""",
         # 14 rounds ≥ the measured fixpoint depth (9 at sf0.01, 5 at
         # sf0.001) with margin; extra rounds are no-ops (unique k-core)
         "kcore_parts": _kcore_sql(_BIPARTITE_EDGES_SQL, 6, 14),
+        "topo_levels_layers": _topo_sql(_DAG_LAYER_EDGES_SQL, 18),
         "neighborhood_r2": _neighborhood_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -3895,6 +4079,72 @@ agg AS (SELECT gram, COUNT(DISTINCT doc_id)::BIGINT AS docs,
   COUNT(*)::BIGINT AS occurrences FROM grams GROUP BY gram)
 SELECT gram, docs, occurrences FROM agg WHERE docs >= 2
 ORDER BY docs DESC, occurrences DESC, gram ASC LIMIT 20""",
+        "heaps_curve_docs": f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {_TOK.format(c='text')} AS t FROM documents),
+per AS (SELECT doc_id, len(t)::BIGINT AS doc_tokens FROM toks),
+dt AS (SELECT DISTINCT doc_id, u.term FROM toks, UNNEST(t) AS u(term)),
+firsts AS (SELECT term, MIN(doc_id) AS doc_id FROM dt GROUP BY term),
+nt AS (SELECT doc_id, COUNT(*)::BIGINT AS new_terms FROM firsts
+  GROUP BY doc_id)
+SELECT p.doc_id, p.doc_tokens,
+  COALESCE(n.new_terms, 0)::BIGINT AS new_terms,
+  (SUM(p.doc_tokens) OVER (ORDER BY p.doc_id))::BIGINT AS cum_tokens,
+  (SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY p.doc_id))::BIGINT
+    AS cum_vocab
+FROM per p LEFT JOIN nt n ON n.doc_id = p.doc_id""",
+        "zipf_topk_docs": f"""WITH toks AS (SELECT
+  {_TOK.format(c='text')} AS t FROM documents),
+freq AS (SELECT u.term, COUNT(*)::BIGINT AS freq FROM toks,
+  UNNEST(t) AS u(term) GROUP BY u.term),
+top AS (SELECT term, freq FROM freq ORDER BY freq DESC, term LIMIT 50)
+SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, term)::BIGINT AS rank,
+  term, freq FROM top""",
+        "zipf_alpha_docs": f"""WITH toks AS (SELECT
+  {_TOK.format(c='text')} AS t FROM documents),
+freq AS (SELECT u.term, COUNT(*)::BIGINT AS f FROM toks,
+  UNNEST(t) AS u(term) GROUP BY u.term),
+tail AS (SELECT f FROM freq WHERE f >= 2)
+SELECT 2::BIGINT AS f_min, COUNT(*)::BIGINT AS n_tail,
+  ROUND(CASE WHEN COUNT(*) > 0 AND SUM(LN(f / 1.5)) > 0
+    THEN 1.0 + COUNT(*) / SUM(LN(f / 1.5)) ELSE 0.0 END, 8) AS alpha
+FROM tail""",
+        "contamination_docs": f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {_TOK.format(c='text')} AS t FROM documents),
+bgrams AS (SELECT DISTINCT
+  array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM (SELECT t FROM toks WHERE doc_id % 17 = 0),
+  UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+grams AS (SELECT doc_id, i AS pos,
+  array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+hits AS (SELECT g.doc_id, g.pos FROM grams g
+  WHERE g.gram IN (SELECT gram FROM bgrams)),
+hg AS (SELECT doc_id, COUNT(*)::BIGINT AS hit_grams FROM hits
+  GROUP BY doc_id),
+cov AS (SELECT doc_id, COUNT(*)::BIGINT AS covered FROM (
+  SELECT DISTINCT doc_id, u.cp FROM hits,
+    UNNEST(range(pos, pos + 5)) AS u(cp)) GROUP BY doc_id),
+tot AS (SELECT doc_id, len(t)::BIGINT AS total_tokens FROM toks)
+SELECT t.doc_id, t.total_tokens,
+  COALESCE(h.hit_grams, 0)::BIGINT AS hit_grams,
+  COALESCE(c.covered, 0)::BIGINT AS covered_tokens,
+  CASE WHEN t.total_tokens = 0 THEN 0.0
+    ELSE ROUND(COALESCE(c.covered, 0) / t.total_tokens, 6)
+  END AS contam_frac,
+  COALESCE(c.covered, 0) > 0 AS contaminated
+FROM tot t LEFT JOIN hg h ON h.doc_id = t.doc_id
+LEFT JOIN cov c ON c.doc_id = t.doc_id""",
+        "clean_corpus_docs": f"""WITH toks AS (SELECT doc_id::BIGINT AS doc_id,
+  {_TOK.format(c='text')} AS t FROM documents),
+bgrams AS (SELECT DISTINCT
+  array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM (SELECT t FROM toks WHERE doc_id % 17 = 0),
+  UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+flagged AS (SELECT DISTINCT doc_id FROM (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
+  WHERE gram IN (SELECT gram FROM bgrams))
+SELECT doc_id FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
         "repetition_docs": _repetition_sql(),
         "lm_perplexity_docs": _lm_perplexity_sql(),
         "inverted_index_docs": f"""WITH toks AS (SELECT
@@ -3966,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_orders": q_host_graph_orders,
         "host_stats_orders": q_host_stats_orders,
         "kcore_parts": q_kcore_parts,
+        "topo_levels_layers": q_topo_levels_layers,
         "neighborhood_r2": q_neighborhood_r2,
         "reciprocity_parts": q_reciprocity_parts,
         "clustering_copart": q_clustering_copart,
@@ -4008,6 +4259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_events": q_temporal_reach_events,
         "funnel_events": q_funnel_events,
         "retention_events": q_retention_events,
+        "sessionize_events": q_sessionize_events,
+        "session_stats_events": q_session_stats_events,
         "spreading_tree": q_spreading_tree,
         "dbscan_embeddings": q_dbscan_embeddings,
         "canonical_docs": q_canonical_docs,
@@ -4025,6 +4278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_summary_docs": q_anchor_summary_docs,
         "dup_ngram_docs": q_dup_ngram_docs,
         "dup_ngrams_topk_docs": q_dup_ngrams_topk_docs,
+        "heaps_curve_docs": q_heaps_curve_docs,
+        "zipf_topk_docs": q_zipf_topk_docs,
+        "zipf_alpha_docs": q_zipf_alpha_docs,
+        "contamination_docs": q_contamination_docs,
+        "clean_corpus_docs": q_clean_corpus_docs,
         "repetition_docs": q_repetition_docs,
         "lm_perplexity_docs": q_lm_perplexity_docs,
         "inverted_index_docs": q_inverted_index_docs,
