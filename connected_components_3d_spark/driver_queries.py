@@ -76,6 +76,8 @@ from .operators.collocations import pmi_bigrams
 from .operators.repetition import repetition_features
 from .operators.lm import lm_perplexity
 from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
+from .operators.pii import PII_PATTERNS, pii_features, redact_pii
+from .operators.c4 import c4_clean, c4_features
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1709,6 +1711,76 @@ def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, _benchmark_docs(spark, sf_dir), n=5).select(
         "doc_id"
     )
+
+
+# Deterministic PII injection appended to every document (the synthetic
+# corpus contains none): the SAME SQL text runs as a Spark expression and
+# inside the DuckDB oracle, so both engines scrub an identical corpus.
+# doc_id%5 rotates through the five PII classes (class 4 plants two).
+_PII_INJECT_SQL = """concat(coalesce(text, ''), CASE CAST(doc_id % 5 AS INT)
+ WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com today')
+ WHEN 1 THEN concat(' call 415-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now')
+ WHEN 2 THEN concat(' host 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST((doc_id * 7) % 256 AS STRING), ' up')
+ WHEN 3 THEN concat(' ssn 078-05-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' leaked')
+ ELSE concat(' pay 4111-1111-1111-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' or billing', CAST(doc_id AS STRING), '@example.org')
+END)"""
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(_PII_INJECT_SQL).alias("text"))
+
+
+def q_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py) over the injected
+    corpus: per-class match counts on the original text, sorted-distinct
+    email list, and the md5/length of the typed-placeholder redaction —
+    the md5 pins the redacted BYTES, not just the counts."""
+    return pii_features(_pii_docs(spark, sf_dir))
+
+
+def q_pii_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redacted corpus itself (operators/pii.py redact_pii): full
+    schema passthrough, text replaced; projected to (doc_id, text) for
+    the gate so the whole scrubbed string is hash-compared."""
+    return redact_pii(_pii_docs(spark, sf_dir)).select("doc_id", "text")
+
+
+# Deterministic multi-line page synthesis for the C4 gate (the synthetic
+# corpus is single-line and punctuation-free): same SQL text in both
+# engines. Lines: [0] 40 chars + '.', [1] punct-free (always dropped),
+# then doc_id-gated javascript / lorem-ipsum / brace boilerplate lines,
+# [..] 40 chars + '!', a <3-word ' tiny. ' line, and 45 chars + '?'.
+_C4_INJECT_SQL = (
+    "concat(substr(coalesce(text, ''), 1, 40), '.', chr(10),"
+    " substr(coalesce(text, ''), 45, 35), chr(10),"
+    " CASE WHEN doc_id % 7 = 0 THEN concat('please enable javascript to view this page.', chr(10)) ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat('Lorem ipsum dolor sit amet consectetur adipiscing.', chr(10)) ELSE '' END,"
+    " CASE WHEN doc_id % 13 = 0 THEN concat('function f() { return 1; }', chr(10)) ELSE '' END,"
+    " substr(coalesce(text, ''), 85, 40), '!', chr(10),"
+    " ' tiny. ', chr(10),"
+    " substr(coalesce(text, ''), 130, 45), '?')"
+)
+
+
+def _c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(_C4_INJECT_SQL).alias("text"))
+
+
+def q_c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page features (operators/c4.py) over the synthesized
+    multi-line pages: line keep counts, boilerplate flags, sentence proxy,
+    page keep verdict, and the md5 of the cleaned text."""
+    return c4_features(_c4_docs(spark, sf_dir))
+
+
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-surviving corpus (operators/c4.py c4_clean): keep_doc filter
+    + text replaced by the kept-lines join; (doc_id, clean md5) for the
+    gate."""
+    out = c4_clean(_c4_docs(spark, sf_dir))
+    return out.select("doc_id", F.md5("text").alias("clean_md5"))
 
 
 def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3562,6 +3634,100 @@ def _host_pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
     return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
+def _pii_sql() -> str:
+    """DuckDB replay of pii_features over the injected corpus. Patterns are
+    shared verbatim from PII_PATTERNS (Java∩RE2 subset — pii.py contract);
+    DuckDB regexp_replace needs the explicit 'g' flag (Spark is global by
+    default)."""
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in PII_PATTERNS.values()
+    )
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    email = PII_PATTERNS["email"]
+    return (
+        "WITH injected AS (SELECT doc_id::BIGINT AS doc_id, "
+        + _PII_INJECT_SQL
+        + " AS text FROM documents)\nSELECT doc_id,\n  "
+        + counts
+        + f",\n  ({total})::BIGINT AS n_pii,\n"
+        # list_sort([]) is NULL in DuckDB; Spark's array_join gives ''
+        + "  coalesce(array_to_string(list_sort(list_distinct("
+        + f"regexp_extract_all(text, '{email}'))), ','), '') AS emails,\n"
+        + f"  length({red})::BIGINT AS redacted_len,\n"
+        + f"  md5({red}) AS redacted_md5\nFROM injected"
+    )
+
+
+def _pii_clean_sql() -> str:
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    return (
+        "WITH injected AS (SELECT doc_id::BIGINT AS doc_id, "
+        + _PII_INJECT_SQL
+        + " AS text FROM documents)\n"
+        + f"SELECT doc_id, {red} AS text FROM injected"
+    )
+
+
+# DuckDB replay of the c4.py line rules: list lambdas mirror Spark's
+# higher-order filter/transform; '/' on integers is float division in
+# DuckDB (matches the explicit double cast on the Spark side).
+_C4_FEAT_SQL_BODY = """f AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     x -> regexp_matches(trim(x), '[.!?"]$')
+                          AND len(regexp_extract_all(trim(x), '[A-Za-z0-9]+')) >= 3
+                          AND NOT contains(lower(x), 'javascript')) AS keptraw
+  FROM injected),
+g AS (
+  SELECT doc_id, text,
+         len(lines)::BIGINT AS n_lines, len(keptraw)::BIGINT AS n_kept,
+         array_to_string(list_transform(keptraw, x -> trim(x)), chr(10)) AS clean
+  FROM f)"""
+
+
+def _c4_sql() -> str:
+    return (
+        "WITH injected AS (SELECT doc_id::BIGINT AS doc_id, "
+        + _C4_INJECT_SQL
+        + " AS text FROM documents),\n"
+        + _C4_FEAT_SQL_BODY
+        + """
+SELECT doc_id, n_lines, n_kept, round(n_kept / n_lines, 6) AS kept_frac,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, chr(123)) AS has_brace,
+  len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+  (len(regexp_extract_all(clean, '[.!?]')) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, chr(123))) AS keep_doc,
+  length(clean)::BIGINT AS clean_len, md5(clean) AS clean_md5
+FROM g"""
+    )
+
+
+def _c4_clean_sql() -> str:
+    return (
+        "WITH injected AS (SELECT doc_id::BIGINT AS doc_id, "
+        + _C4_INJECT_SQL
+        + " AS text FROM documents),\n"
+        + _C4_FEAT_SQL_BODY
+        + """
+SELECT doc_id, md5(clean) AS clean_md5 FROM g
+WHERE len(regexp_extract_all(clean, '[.!?]')) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, chr(123))"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tree_cc = f"SELECT vertex, component FROM {_TREE_COMP_SQL} c"
     return {
@@ -4145,6 +4311,10 @@ flagged AS (SELECT DISTINCT doc_id FROM (
   FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
   WHERE gram IN (SELECT gram FROM bgrams))
 SELECT doc_id FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
+        "pii_docs": _pii_sql(),
+        "pii_clean_docs": _pii_clean_sql(),
+        "c4_docs": _c4_sql(),
+        "c4_clean_docs": _c4_clean_sql(),
         "repetition_docs": _repetition_sql(),
         "lm_perplexity_docs": _lm_perplexity_sql(),
         "inverted_index_docs": f"""WITH toks AS (SELECT
@@ -4283,6 +4453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_docs": q_zipf_alpha_docs,
         "contamination_docs": q_contamination_docs,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "pii_docs": q_pii_docs,
+        "pii_clean_docs": q_pii_clean_docs,
+        "c4_docs": q_c4_docs,
+        "c4_clean_docs": q_c4_clean_docs,
         "repetition_docs": q_repetition_docs,
         "lm_perplexity_docs": q_lm_perplexity_docs,
         "inverted_index_docs": q_inverted_index_docs,
