@@ -90,6 +90,7 @@ from .operators.sampling import neighbor_sample
 from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
 from .operators.scc import strongly_connected_components
+from .operators.wl import wl_colors, wl_signature
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1711,6 +1712,22 @@ def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, _benchmark_docs(spark, sf_dir), n=5).select(
         "doc_id"
     )
+
+
+def q_wl_colors_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O57: 1-WL color refinement (operators/wl.py), 2 rounds over the
+    symmetrized tree graph — region roots, nations and customers refine
+    into per-shape classes (a nation's color encodes its customer count at
+    round 1 and its siblings' counts at round 2). Oracle: chained-CTE
+    round-for-round replay with list_sort + md5."""
+    return wl_colors(spark, tree_edges(spark, sf_dir), rounds=2).colors
+
+
+def q_wl_signature_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O57b: the relabel-invariant WL graph fingerprint of the co-part
+    graph (2 rounds): md5 over the sorted color:count histogram plus the
+    class/vertex counts."""
+    return wl_signature(spark, copart_edges(spark, sf_dir), rounds=2)
 
 
 # Deterministic PII injection appended to every document (the synthetic
@@ -3634,6 +3651,46 @@ def _host_pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
     return f"{body}\nSELECT vertex, ROUND(rank, 8) AS rank FROM r{iters}"
 
 
+def _wl_chain_sql(edges_sql: str, rounds: int) -> str:
+    """Chained-CTE 1-WL replay (wl.py contract): symmetrize+dedup, degree
+    md5 seed, then one join+list_sort+md5 CTE per round; yields CTEs e and
+    c{rounds} for the caller's SELECT."""
+    parts = [
+        f"e0 AS (SELECT src AS u, dst AS v FROM {edges_sql} t)",
+        "e AS (SELECT DISTINCT u, v FROM"
+        " (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0))",
+        "c0 AS (SELECT u AS vertex, md5(CAST(COUNT(*) AS STRING)) AS color"
+        " FROM e GROUP BY u)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT c.vertex,"
+            " md5(concat(c.color, '|',"
+            " array_to_string(list_sort(list(nc.color)), ','))) AS color"
+            f" FROM c{r - 1} c JOIN e ON e.u = c.vertex"
+            f" JOIN c{r - 1} nc ON nc.vertex = e.v"
+            " GROUP BY c.vertex, c.color)"
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _wl_colors_sql() -> str:
+    return (
+        _wl_chain_sql(_TREE_EDGES_SQL, 2) + "\nSELECT vertex, color FROM c2"
+    )
+
+
+def _wl_signature_sql() -> str:
+    return (
+        _wl_chain_sql(_COPART_EDGES_SQL, 2)
+        + """,
+hist AS (SELECT color, COUNT(*)::BIGINT AS n FROM c2 GROUP BY color)
+SELECT md5(array_to_string(list_sort(list(concat(color, ':', CAST(n AS STRING)))), ';')) AS signature,
+       COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_vertices
+FROM hist"""
+    )
+
+
 def _pii_sql() -> str:
     """DuckDB replay of pii_features over the injected corpus. Patterns are
     shared verbatim from PII_PATTERNS (Java∩RE2 subset — pii.py contract);
@@ -4311,6 +4368,8 @@ flagged AS (SELECT DISTINCT doc_id FROM (
   FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
   WHERE gram IN (SELECT gram FROM bgrams))
 SELECT doc_id FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
+        "wl_colors_tree": _wl_colors_sql(),
+        "wl_signature_copart": _wl_signature_sql(),
         "pii_docs": _pii_sql(),
         "pii_clean_docs": _pii_clean_sql(),
         "c4_docs": _c4_sql(),
@@ -4453,6 +4512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_docs": q_zipf_alpha_docs,
         "contamination_docs": q_contamination_docs,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "wl_colors_tree": q_wl_colors_tree,
+        "wl_signature_copart": q_wl_signature_copart,
         "pii_docs": q_pii_docs,
         "pii_clean_docs": q_pii_clean_docs,
         "c4_docs": q_c4_docs,
