@@ -91,6 +91,7 @@ from .operators.sssp import shortest_paths
 from .operators.walks import random_walks
 from .operators.scc import strongly_connected_components
 from .operators.wl import wl_colors, wl_signature
+from .operators.motif import find_motifs
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1712,6 +1713,16 @@ def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, _benchmark_docs(spark, sf_dir), n=5).select(
         "doc_id"
     )
+
+
+def q_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O58: motif finding (operators/motif.py) — feed-forward 2-paths
+    ``a->b; b->c; !c->a`` over the directed SCC fixture (rings of 5 + the
+    ring→ring chain + tendrils): every in-ring 2-path qualifies (rings are
+    5-cycles, so c->a never closes), negation prunes nothing inside rings
+    but the pattern still exercises the anti-join; oracle = plain SQL
+    join + NOT EXISTS."""
+    return find_motifs(scc_edges(spark, sf_dir), "a->b; b->c; !c->a")
 
 
 def q_wl_colors_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4368,6 +4379,10 @@ flagged AS (SELECT DISTINCT doc_id FROM (
   FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
   WHERE gram IN (SELECT gram FROM bgrams))
 SELECT doc_id FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
+        "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+WHERE NOT EXISTS (SELECT 1 FROM e e3 WHERE e3.src = e2.dst AND e3.dst = e1.src)""",
         "wl_colors_tree": _wl_colors_sql(),
         "wl_signature_copart": _wl_signature_sql(),
         "pii_docs": _pii_sql(),
@@ -4512,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_docs": q_zipf_alpha_docs,
         "contamination_docs": q_contamination_docs,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,
         "pii_docs": q_pii_docs,
