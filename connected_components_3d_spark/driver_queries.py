@@ -92,6 +92,7 @@ from .operators.walks import random_walks
 from .operators.scc import strongly_connected_components
 from .operators.wl import wl_colors, wl_signature
 from .operators.motif import find_motifs
+from .operators.landmarks import estimate_distances, landmark_distances
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1713,6 +1714,41 @@ def q_clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(docs, _benchmark_docs(spark, sf_dir), n=5).select(
         "doc_id"
     )
+
+
+def q_landmark_dist_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O59: landmark distance sketch (operators/landmarks.py) — exact hop
+    distances from the 5 region roots over the symmetrized tree graph.
+    Oracle: closed form (root 0, nation 1, customer 2, own region only —
+    the 5 trees are disjoint components)."""
+    return landmark_distances(
+        spark, tree_edges(spark, sf_dir), [0, 1, 2, 3, 4]
+    ).distances
+
+
+def q_landmark_estimate_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O59b: triangle-inequality distance sandwich for every
+    (customer, nation-of-same-region) query pair via the region-root
+    sketch: lower=|2−1|=1, upper=2+1=3, n_common=1 everywhere — closed
+    form, but the estimator's two sketch joins + fold run for real."""
+    sketch = landmark_distances(
+        spark, tree_edges(spark, sf_dir), [0, 1, 2, 3, 4]
+    ).distances
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    pairs = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).join(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_regionkey").alias("r2"),
+            F.col("n_nationkey").alias("nk2"),
+        ),
+        F.col("n_regionkey") == F.col("r2"),
+    ).select(
+        (F.lit(1000) + F.col("c_custkey")).cast("long").alias("src"),
+        (F.lit(100) + F.col("nk2")).cast("long").alias("dst"),
+    )
+    return estimate_distances(sketch, pairs)
 
 
 def q_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4379,6 +4415,19 @@ flagged AS (SELECT DISTINCT doc_id FROM (
   FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
   WHERE gram IN (SELECT gram FROM bgrams))
 SELECT doc_id FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM flagged)""",
+        "landmark_dist_tree": """
+SELECT r_regionkey::BIGINT AS vertex, r_regionkey::BIGINT AS landmark, 0::BIGINT AS dist FROM region
+UNION ALL
+SELECT (100 + n_nationkey)::BIGINT, n_regionkey::BIGINT, 1::BIGINT FROM nation
+UNION ALL
+SELECT (1000 + c_custkey)::BIGINT, n_regionkey::BIGINT, 2::BIGINT
+FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+        "landmark_estimate_tree": """
+SELECT (1000 + c_custkey)::BIGINT AS src, (100 + n2.n_nationkey)::BIGINT AS dst,
+       1::BIGINT AS lower, 3::BIGINT AS upper, 1::BIGINT AS n_common
+FROM customer
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON n2.n_regionkey = n1.n_regionkey""",
         "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -4527,6 +4576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_docs": q_zipf_alpha_docs,
         "contamination_docs": q_contamination_docs,
         "clean_corpus_docs": q_clean_corpus_docs,
+        "landmark_dist_tree": q_landmark_dist_tree,
+        "landmark_estimate_tree": q_landmark_estimate_tree,
         "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,
