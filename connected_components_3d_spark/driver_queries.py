@@ -93,6 +93,7 @@ from .operators.scc import strongly_connected_components
 from .operators.wl import wl_colors, wl_signature
 from .operators.motif import find_motifs
 from .operators.landmarks import estimate_distances, landmark_distances
+from .operators.simrank import simrank
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1749,6 +1750,78 @@ def q_landmark_estimate_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100) + F.col("nk2")).cast("long").alias("dst"),
     )
     return estimate_distances(sketch, pairs)
+
+
+def downtree_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSED tree (region→nation→customer) ∪ the 25-nation ring:
+    in-degrees vary {0 (regions), 1 (customers), 2 (nations)} — the
+    SimRank normalizer fixture."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    down1 = nation.select(
+        F.col("n_regionkey").cast("long").alias("src"),
+        (F.lit(100) + F.col("n_nationkey")).cast("long").alias("dst"),
+    )
+    down2 = customer.select(
+        (F.lit(100) + F.col("c_nationkey")).cast("long").alias("src"),
+        (F.lit(1000) + F.col("c_custkey")).cast("long").alias("dst"),
+    )
+    ring = nation.selectExpr(
+        "CAST(100 + n_nationkey AS BIGINT) AS src",
+        "CAST(100 + (n_nationkey + 1) % 25 AS BIGINT) AS dst",
+    )
+    return down1.unionByName(down2).unionByName(ring)
+
+
+_DOWNTREE_RING_EDGES_SQL = """(
+  SELECT n_regionkey::BIGINT AS src, (100 + n_nationkey)::BIGINT AS dst FROM nation
+  UNION ALL
+  SELECT (100 + c_nationkey)::BIGINT, (1000 + c_custkey)::BIGINT FROM customer
+  UNION ALL
+  SELECT (100 + n_nationkey)::BIGINT, (100 + (n_nationkey + 1) % 25)::BIGINT
+  FROM nation
+)"""
+
+
+def q_simrank_downtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O60: 2-step truncated SimRank (operators/simrank.py) over the
+    reversed-tree ∪ nation-ring graph — same-nation customers score C,
+    same-region cross-nation customers C·(C/4), nation/cross-type strata
+    from the ring, with the {1,2}-valued in-degree normalizers exercised
+    for real. Oracle: fixed-round chained-CTE replay of the Jeh–Widom
+    recurrence (ROUND 8 both sides)."""
+    res = simrank(
+        spark, downtree_ring_edges(spark, sf_dir), c=0.8, fixed_iters=2
+    )
+    return res.similarities.select(
+        "a", "b", F.round("score", 8).alias("score")
+    )
+
+
+def _simrank_sql(edges_sql: str, c: float, k: int) -> str:
+    """Chained-CTE DuckDB replay of k truncated SimRank iterations —
+    float-op-order-matched to operators/simrank.py ((c·Σ)/(dᵢ·dⱼ))."""
+    steps = []
+    for it in range(1, k + 1):
+        steps.append(
+            f"""s{it} AS MATERIALIZED (
+  SELECT e1.dst AS i, e2.dst AS j,
+         ({c!r} * SUM(s.score)) / (da.d * db.d) AS score
+  FROM s{it - 1} s
+  JOIN e e1 ON s.i = e1.src JOIN e e2 ON s.j = e2.src
+  JOIN indeg da ON da.vertex = e1.dst JOIN indeg db ON db.vertex = e2.dst
+  WHERE e1.dst <> e2.dst
+  GROUP BY e1.dst, e2.dst, da.d, db.d
+  UNION ALL SELECT vertex, vertex, 1.0::DOUBLE FROM v
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_sql} t),
+v AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst AS vertex FROM e),
+indeg AS MATERIALIZED (SELECT dst AS vertex, COUNT(*)::BIGINT AS d FROM e GROUP BY dst),
+s0 AS MATERIALIZED (SELECT vertex AS i, vertex AS j, 1.0::DOUBLE AS score FROM v),
+{chain}
+SELECT i AS a, j AS b, ROUND(score, 8) AS score FROM s{k} WHERE i < j"""
 
 
 def q_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4428,6 +4501,7 @@ SELECT (1000 + c_custkey)::BIGINT AS src, (100 + n2.n_nationkey)::BIGINT AS dst,
 FROM customer
 JOIN nation n1 ON c_nationkey = n1.n_nationkey
 JOIN nation n2 ON n2.n_regionkey = n1.n_regionkey""",
+        "simrank_downtree": _simrank_sql(_DOWNTREE_RING_EDGES_SQL, 0.8, 2),
         "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -4578,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_docs": q_clean_corpus_docs,
         "landmark_dist_tree": q_landmark_dist_tree,
         "landmark_estimate_tree": q_landmark_estimate_tree,
+        "simrank_downtree": q_simrank_downtree,
         "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,
