@@ -94,6 +94,7 @@ from .operators.wl import wl_colors, wl_signature
 from .operators.motif import find_motifs
 from .operators.landmarks import estimate_distances, landmark_distances
 from .operators.simrank import simrank
+from .operators.pca import covariance_matrix
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1795,6 +1796,17 @@ def q_simrank_downtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return res.similarities.select(
         "a", "b", F.round("score", 8).alias("score")
+    )
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O61: one-pass distributed covariance of the 64-dim embedding column
+    (operators/pca.py gram path — partial numpy Gram per partition,
+    element-keyed JVM combine). Oracle: DuckDB posexplode² replay of
+    cov[i,j] = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n), ROUND 8 both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(spark, emb, "embedding", method="gram").select(
+        "i", "j", F.round("cov", 8).alias("cov")
     )
 
 
@@ -4502,6 +4514,19 @@ FROM customer
 JOIN nation n1 ON c_nationkey = n1.n_nationkey
 JOIN nation n2 ON n2.n_regionkey = n1.n_regionkey""",
         "simrank_downtree": _simrank_sql(_DOWNTREE_RING_EDGES_SQL, 0.8, 2),
+        "embedding_covariance": """
+WITH xx AS (
+  SELECT u.i AS i, w.j AS j,
+         embedding[u.i + 1]::DOUBLE AS xi, embedding[w.j + 1]::DOUBLE AS xj
+  FROM embeddings,
+       UNNEST(range(len(embedding))) u(i),
+       UNNEST(range(len(embedding))) w(j)
+)
+SELECT i::INT AS i, j::INT AS j,
+       ROUND(SUM(xi * xj) / (SELECT COUNT(*) FROM embeddings)
+             - (SUM(xi) / (SELECT COUNT(*) FROM embeddings))
+               * (SUM(xj) / (SELECT COUNT(*) FROM embeddings)), 8) AS cov
+FROM xx GROUP BY i, j""",
         "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -4653,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_dist_tree": q_landmark_dist_tree,
         "landmark_estimate_tree": q_landmark_estimate_tree,
         "simrank_downtree": q_simrank_downtree,
+        "embedding_covariance": q_embedding_covariance,
         "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,
