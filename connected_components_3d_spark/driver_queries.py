@@ -95,6 +95,7 @@ from .operators.motif import find_motifs
 from .operators.landmarks import estimate_distances, landmark_distances
 from .operators.simrank import simrank
 from .operators.pca import covariance_matrix
+from .operators.redirects import resolve_redirects
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1808,6 +1809,56 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(spark, emb, "embedding", method="gram").select(
         "i", "j", F.round("cov", 8).alias("cov")
     )
+
+
+def q_redirects_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O62: redirect-chain resolution (operators/redirects.py pointer
+    doubling) over the deterministic mix functional graph on customer keys
+    (src = ck where ck%7≠0, dst = mix(ck) % 1000 — chains, tails, and
+    loops all present at sf0.01). Oracle: DuckDB recursive-CTE sequential
+    walk with path-array loop detection — an INDEPENDENT O(chain) replay
+    of the O(log n) doubling kernel."""
+    customer = load_table(spark, sf_dir, "customer")
+    edges = customer.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").cast("long").alias("src"),
+        (
+            (F.col("c_custkey").cast("long") * 1103515245 + 7)
+            % 2147483647
+            % 1000
+        ).alias("dst"),
+    )
+    return resolve_redirects(spark, edges).resolved
+
+
+_REDIRECTS_MIX_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT c_custkey::BIGINT AS src,
+         ((c_custkey::BIGINT * 1103515245 + 7) % 2147483647) % 1000 AS dst
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+walk AS (
+  SELECT src AS start, dst AS cur, 1::BIGINT AS hops, [src] AS path FROM e
+  UNION ALL
+  SELECT w.start, e.dst, w.hops + 1, list_append(w.path, w.cur)
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE NOT list_contains(w.path, w.cur)
+),
+term AS (
+  SELECT start AS src, cur AS final, hops, 'ok' AS status
+  FROM walk WHERE cur NOT IN (SELECT src FROM e)
+),
+cyc AS (
+  SELECT w.start,
+         list_slice(w.path, list_position(w.path, w.cur), len(w.path)) AS cv
+  FROM walk w JOIN e ON w.cur = e.src
+  WHERE list_contains(w.path, w.cur)
+)
+SELECT src, final, hops, status FROM term
+UNION ALL
+SELECT start, list_aggregate(cv, 'min'), -1::BIGINT,
+       CASE WHEN list_contains(cv, start) THEN 'on_cycle'
+            ELSE 'enters_cycle' END
+FROM cyc"""
 
 
 def _simrank_sql(edges_sql: str, c: float, k: int) -> str:
@@ -4527,6 +4578,7 @@ SELECT i::INT AS i, j::INT AS j,
              - (SUM(xi) / (SELECT COUNT(*) FROM embeddings))
                * (SUM(xj) / (SELECT COUNT(*) FROM embeddings)), 8) AS cov
 FROM xx GROUP BY i, j""",
+        "redirects_mix": _REDIRECTS_MIX_SQL,
         "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -4679,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_estimate_tree": q_landmark_estimate_tree,
         "simrank_downtree": q_simrank_downtree,
         "embedding_covariance": q_embedding_covariance,
+        "redirects_mix": q_redirects_mix,
         "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,
