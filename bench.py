@@ -212,6 +212,13 @@ def main() -> None:
     run("kcore_bipartite", dq.q_kcore_parts)
     run("core_numbers_ring", dq.q_core_numbers_ring)
 
+    def _bridges_tree_ring(s, d):
+        from connected_components_3d_spark.operators.bridges import bridges
+
+        return bridges(s, dq.tree_ring_edges(s, d)).bridges
+
+    run("bridges_tree_ring", _bridges_tree_ring)
+
     def _hyperball_r2(s, d):
         from connected_components_3d_spark.operators.neighborhood import (
             hyperball,

@@ -78,6 +78,7 @@ from .operators.lm import lm_perplexity
 from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
 from .operators.pii import PII_PATTERNS, pii_features, redact_pii
 from .operators.c4 import c4_clean, c4_features
+from .operators.bridges import bridges as bridge_finder
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1885,6 +1886,110 @@ indeg AS MATERIALIZED (SELECT dst AS vertex, COUNT(*)::BIGINT AS d FROM e GROUP 
 s0 AS MATERIALIZED (SELECT vertex AS i, vertex AS j, 1.0::DOUBLE AS score FROM v),
 {chain}
 SELECT i AS a, j AS b, ROUND(score, 8) AS score FROM s{k} WHERE i < j"""
+
+
+def bridge_mix_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge fixture: nation→region tree + the nation ring + a SAMPLED
+    customer fringe (ck % 50 == 0) where every second sampled customer
+    (ck % 100 == 0) carries a CHORD to nation 100 + (ck/50·7 mod 25).
+    Chorded customers whose chord lands off their home nation become
+    2-edge-connected through the ring (their two edges are NOT bridges);
+    chords that coincide with the home edge collapse by dedup and leave
+    the customer a bridge leaf — both outcomes present by construction.
+    Kept small (55 + |samples| vertices) so the DuckDB oracle can afford
+    a BRUTE-FORCE per-edge-removal reachability replay."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    nk = F.col("n_nationkey").cast("long")
+    ck = F.col("c_custkey").cast("long")
+    tree = nation.select(
+        (F.lit(100) + nk).alias("src"), F.col("n_regionkey").cast("long").alias("dst")
+    )
+    ring = nation.select(
+        (F.lit(100) + nk).alias("src"),
+        (F.lit(100) + (nk + 1) % 25).alias("dst"),
+    )
+    home = customer.filter(ck % 50 == 0).select(
+        (F.lit(1000) + ck).alias("src"),
+        (F.lit(100) + F.col("c_nationkey").cast("long")).alias("dst"),
+    )
+    chord = customer.filter(ck % 100 == 0).select(
+        (F.lit(1000) + ck).alias("src"),
+        (F.lit(100) + ((ck / 50).cast("long") * 7) % 25).alias("dst"),
+    )
+    return tree.unionByName(ring).unionByName(home).unionByName(chord)
+
+
+_BRIDGE_MIX_BASE_SQL = """base AS MATERIALIZED (
+  SELECT (100 + n_nationkey)::BIGINT AS a, n_regionkey::BIGINT AS b FROM nation
+  UNION ALL
+  SELECT (100 + n_nationkey)::BIGINT, (100 + (n_nationkey + 1) % 25)::BIGINT FROM nation
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT, (100 + c_nationkey)::BIGINT
+  FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT, (100 + ((c_custkey // 50) * 7) % 25)::BIGINT
+  FROM customer WHERE c_custkey % 100 = 0
+),
+eid AS MATERIALIZED (
+  SELECT u, v, u * 1000000 + v AS id FROM (
+    SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM base WHERE a <> b
+  )
+),
+sym AS MATERIALIZED (
+  SELECT id, u AS x, v AS y FROM eid UNION ALL SELECT id, v, u FROM eid
+),
+reach AS (
+  SELECT id, u AS vtx FROM eid
+  UNION
+  SELECT r.id, s.y FROM reach r JOIN sym s ON s.x = r.vtx AND s.id <> r.id
+),
+bri AS MATERIALIZED (
+  SELECT u, v FROM eid
+  WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.id = eid.id AND r.vtx = eid.v)
+)"""
+
+# brute-force oracle: an edge is a bridge iff its far endpoint is NOT
+# reachable from its near endpoint once that one edge is removed —
+# recursive-CTE BFS per edge id, UNION-deduped (an O(E·V) independent
+# replay of the O(log)-round cover-count kernel)
+_BRIDGES_MIX_SQL = f"""WITH RECURSIVE {_BRIDGE_MIX_BASE_SQL}
+SELECT u, v FROM bri"""
+
+# 2ECC oracle: min-label reachability over G minus the oracle's own
+# bridge set (second recursive CTE)
+_TWO_ECC_MIX_SQL = f"""WITH RECURSIVE {_BRIDGE_MIX_BASE_SQL},
+keep AS MATERIALIZED (
+  SELECT e.u, e.v FROM eid e ANTI JOIN bri b ON e.u = b.u AND e.v = b.v
+),
+ksym AS MATERIALIZED (
+  SELECT u AS x, v AS y FROM keep UNION ALL SELECT v, u FROM keep
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT u AS vtx FROM eid UNION SELECT v FROM eid
+),
+lab AS (
+  SELECT vtx, vtx AS lbl FROM verts
+  UNION
+  SELECT k.y, l.lbl FROM lab l JOIN ksym k ON k.x = l.vtx
+)
+SELECT vtx AS vertex, MIN(lbl) AS component FROM lab GROUP BY vtx"""
+
+
+def q_bridges_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63: bridges (operators/bridges.py — BFS-tree + binary-lifting LCA
+    cover counts) on the tree+ring+chorded-fringe fixture. Oracle: brute
+    per-edge-removal reachability (recursive CTE), fully independent of
+    the cover-count formulation."""
+    return bridge_finder(spark, bridge_mix_edges(spark, sf_dir)).bridges
+
+
+def q_two_ecc_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O63b: 2-edge-connected-component labels on the same fixture.
+    Oracle: min-label reachability over G minus the brute bridge set."""
+    return bridge_finder(
+        spark, bridge_mix_edges(spark, sf_dir)
+    ).two_edge_components
 
 
 def q_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4579,6 +4684,8 @@ SELECT i::INT AS i, j::INT AS j,
                * (SUM(xj) / (SELECT COUNT(*) FROM embeddings)), 8) AS cov
 FROM xx GROUP BY i, j""",
         "redirects_mix": _REDIRECTS_MIX_SQL,
+        "bridges_mix": _BRIDGES_MIX_SQL,
+        "two_ecc_mix": _TWO_ECC_MIX_SQL,
         "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -4732,6 +4839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_downtree": q_simrank_downtree,
         "embedding_covariance": q_embedding_covariance,
         "redirects_mix": q_redirects_mix,
+        "bridges_mix": q_bridges_mix,
+        "two_ecc_mix": q_two_ecc_mix,
         "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,
