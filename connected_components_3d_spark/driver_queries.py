@@ -79,6 +79,7 @@ from .operators.ranking import bm25_scores, inverted_index, tf_idf_topk
 from .operators.pii import PII_PATTERNS, pii_features, redact_pii
 from .operators.c4 import c4_clean, c4_features
 from .operators.bridges import bridges as bridge_finder
+from .operators.biconnectivity import biconnected
 from .operators.butterfly import butterflies
 from .operators.densest import densest_subgraph
 from .operators.incremental import incremental_components
@@ -1990,6 +1991,94 @@ def q_two_ecc_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bridge_finder(
         spark, bridge_mix_edges(spark, sf_dir)
     ).two_edge_components
+
+
+# shared base for the biconnectivity oracles: canonical edges + per-VERTEX-
+# removal min-label reachability fin(w, vtx) = component label of vtx in
+# G−w — the brute-force independent replay of the block-graph kernel
+# (articulation ⟺ two neighbors of w land in different G−w components;
+# adjacent edges at w share a block ⟺ their far endpoints share one).
+_BICC_MIX_BASE_SQL = """base AS MATERIALIZED (
+  SELECT (100 + n_nationkey)::BIGINT AS a, n_regionkey::BIGINT AS b FROM nation
+  UNION ALL
+  SELECT (100 + n_nationkey)::BIGINT, (100 + (n_nationkey + 1) % 25)::BIGINT FROM nation
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT, (100 + c_nationkey)::BIGINT
+  FROM customer WHERE c_custkey % 50 = 0
+  UNION ALL
+  SELECT (1000 + c_custkey)::BIGINT, (100 + ((c_custkey // 50) * 7) % 25)::BIGINT
+  FROM customer WHERE c_custkey % 100 = 0
+),
+eid AS MATERIALIZED (
+  SELECT u, v, u * 1000000 + v AS id FROM (
+    SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM base WHERE a <> b
+  )
+),
+sym AS MATERIALIZED (
+  SELECT u AS x, v AS y FROM eid UNION ALL SELECT v, u FROM eid
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT u AS vtx FROM eid UNION SELECT v FROM eid
+),
+lab AS (
+  SELECT w.vtx AS w, v2.vtx AS vtx, v2.vtx AS lbl
+  FROM verts w JOIN verts v2 ON v2.vtx <> w.vtx
+  UNION
+  SELECT l.w, s.y, l.lbl FROM lab l JOIN sym s ON s.x = l.vtx WHERE s.y <> l.w
+),
+fin AS MATERIALIZED (SELECT w, vtx, MIN(lbl) AS ml FROM lab GROUP BY w, vtx)"""
+
+# articulation oracle: w is a cut vertex iff two of its neighbors end up in
+# different components of G−w
+_ARTICULATION_MIX_SQL = f"""WITH RECURSIVE {_BICC_MIX_BASE_SQL}
+SELECT DISTINCT s1.x AS vertex
+FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.y < s2.y
+JOIN fin f1 ON f1.w = s1.x AND f1.vtx = s1.y
+JOIN fin f2 ON f2.w = s2.x AND f2.vtx = s2.y
+WHERE f1.ml <> f2.ml"""
+
+# block oracle: edges adjacent at w are in the same biconnected component
+# iff their far endpoints are connected in G−w; blocks are the transitive
+# closure (min-label over edge nodes); canonical representative = min edge
+# id, decomposed back to (bu, bv) — vertex ids < 10^6 by construction
+_BICC_MIX_SQL = f"""WITH RECURSIVE {_BICC_MIX_BASE_SQL},
+incid AS MATERIALIZED (
+  SELECT id, u AS w, v AS far FROM eid UNION ALL SELECT id, v, u FROM eid
+),
+erel AS MATERIALIZED (
+  SELECT i1.id AS a, i2.id AS b
+  FROM incid i1 JOIN incid i2 ON i1.w = i2.w AND i1.id < i2.id
+  JOIN fin f1 ON f1.w = i1.w AND f1.vtx = i1.far
+  JOIN fin f2 ON f2.w = i2.w AND f2.vtx = i2.far
+  WHERE f1.ml = f2.ml
+),
+esym AS MATERIALIZED (SELECT a AS x, b AS y FROM erel UNION ALL SELECT b, a FROM erel),
+blab AS (
+  SELECT id AS e, id AS lbl FROM eid
+  UNION
+  SELECT s.y, l.lbl FROM blab l JOIN esym s ON s.x = l.e
+),
+bfin AS MATERIALIZED (SELECT e, MIN(lbl) AS blk FROM blab GROUP BY e)
+SELECT e2.u AS u, e2.v AS v,
+       (b.blk // 1000000)::BIGINT AS bu, (b.blk % 1000000)::BIGINT AS bv
+FROM eid e2 JOIN bfin b ON b.e = e2.id"""
+
+
+def q_articulation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64: articulation points (operators/biconnectivity.py — BFS-tree +
+    LCA sibling/escape block graph) on the same tree+ring+chorded-fringe
+    fixture as the bridge gate. Oracle: brute per-VERTEX-removal min-label
+    reachability — w is a cut vertex iff two neighbors disconnect in G−w —
+    fully independent of the block-graph formulation."""
+    return biconnected(spark, bridge_mix_edges(spark, sf_dir)).articulation_points
+
+
+def q_bicc_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O64b: per-edge biconnected-component labels on the same fixture,
+    canonicalized to each block's lexicographically smallest member edge.
+    Oracle: adjacent-edge relation (far endpoints connected in G−w) closed
+    transitively by min-label over edge nodes."""
+    return biconnected(spark, bridge_mix_edges(spark, sf_dir)).edge_blocks
 
 
 def q_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4686,6 +4775,8 @@ FROM xx GROUP BY i, j""",
         "redirects_mix": _REDIRECTS_MIX_SQL,
         "bridges_mix": _BRIDGES_MIX_SQL,
         "two_ecc_mix": _TWO_ECC_MIX_SQL,
+        "articulation_mix": _ARTICULATION_MIX_SQL,
+        "bicc_mix": _BICC_MIX_SQL,
         "motif_feedforward": f"""WITH e AS (SELECT DISTINCT src, dst FROM {_SCC_EDGES_SQL} t)
 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
 FROM e e1 JOIN e e2 ON e1.dst = e2.src
@@ -4841,6 +4932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects_mix": q_redirects_mix,
         "bridges_mix": q_bridges_mix,
         "two_ecc_mix": q_two_ecc_mix,
+        "articulation_mix": q_articulation_mix,
+        "bicc_mix": q_bicc_mix,
         "motif_feedforward": q_motif_feedforward,
         "wl_colors_tree": q_wl_colors_tree,
         "wl_signature_copart": q_wl_signature_copart,

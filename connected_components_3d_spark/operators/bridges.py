@@ -12,12 +12,14 @@ endpoints straddle it; valid for ANY spanning tree, not just DFS trees):
      multi-source BFS from the roots yields (vertex, dist, root); the BFS
      tree's parent(v) = MIN neighbor at dist(v)−1 — deterministic, so the
      whole construction (and hence every intermediate) is replayable.
+     (operators/treelift.py `root_forest` — shared with biconnectivity.)
   2. LIFT: binary-lifting ancestor tables up_k(v) = 2^k-th ancestor,
      k ≤ ⌈log₂ depth⌉, built by k successive vertex-sized self-joins
-     (up_{k+1} = up_k ∘ up_k, root clamped to itself).
+     (up_{k+1} = up_k ∘ up_k, root clamped to itself). (`build_lifts`.)
   3. LCA: for every NON-tree edge (u,v), equalize depths then descend —
      the textbook simultaneous-lifting loop run data-parallel over an
      edge-sized state table, one up_k join per round, 2·⌈log₂ d⌉ rounds.
+     (`lca_nontree`.)
   4. COVER COUNTS: each non-tree edge contributes +1 at u, +1 at v, −2 at
      lca(u,v); the subtree sum at w then counts EXACTLY the non-tree edges
      with one endpoint under w and one outside — i.e. the edges covering
@@ -61,7 +63,6 @@ invariance.
 
 from __future__ import annotations
 
-import math
 import time
 from dataclasses import dataclass, field
 
@@ -69,6 +70,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cc import connected_components
+from .treelift import (
+    _truncate,
+    build_lifts,
+    canonical_edges,
+    lca_nontree,
+    root_forest,
+)
 
 
 @dataclass
@@ -78,23 +86,6 @@ class BridgesResult:
     num_bridges: int
     tree_depth: int
     metrics: list[dict] = field(default_factory=list)
-
-
-def _truncate(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
-
-
-def _canonical(edges: DataFrame) -> DataFrame:
-    """(u<v) canonical simple-graph edge set."""
-    s = F.col("src").cast("long")
-    d = F.col("dst").cast("long")
-    return (
-        edges.select(
-            F.least(s, d).alias("u"), F.greatest(s, d).alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
 
 
 def bridges(
@@ -110,7 +101,7 @@ def bridges(
     t0 = time.time()
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = _canonical(edges).repartition(p, "u").persist()
+    e = canonical_edges(edges).repartition(p, "u").persist()
     m = e.count()
     if m == 0:
         empty_b = spark.createDataFrame([], "u long, v long")
@@ -118,170 +109,29 @@ def bridges(
         return BridgesResult(empty_b, empty_c, 0, 0, metrics)
 
     # --- 1. ROOT: components → roots → BFS tree -------------------------
-    sym = e.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    cc = connected_components(spark, e.select(F.col("u").alias("src"), F.col("v").alias("dst"))).components
-    roots = cc.select(F.col("component").alias("vertex")).distinct()
-
-    from .bfs import bfs_distances
-
-    bfs = bfs_distances(
-        spark, e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-        roots, direction="both", max_levels=max_levels,
-    )
-    dist = bfs.distances.select("vertex", "dist").persist()  # every vertex reached
-    depth = dist.agg(F.max("dist")).collect()[0][0] or 0
-    metrics.append({"phase": "root", "depth": int(depth), "sec": time.time() - t0})
-
-    # parent(v) = MIN neighbor at dist(v)-1 (deterministic BFS tree)
-    nbr = sym.join(dist.withColumnRenamed("vertex", "src").withColumnRenamed("dist", "sdist"), "src")
-    nbr = nbr.join(dist.withColumnRenamed("vertex", "dst").withColumnRenamed("dist", "ddist"), "dst")
-    parent = (
-        nbr.where(F.col("sdist") == F.col("ddist") + 1)
-        .groupBy(F.col("src").alias("vertex"))
-        .agg(F.min("dst").alias("parent"))
-    )
-    # state: (vertex, parent, depth); roots carry parent = self, depth 0
-    state = (
-        dist.join(parent, "vertex", "left")
-        .select(
-            "vertex",
-            F.coalesce("parent", F.col("vertex")).alias("parent"),
-            F.col("dist").alias("depth"),
-        )
-        .repartition(p, "vertex")
-    )
-    state = _truncate(state.persist())
-    state.count()
-
-    # tree edges, canonical
-    tree = (
-        state.where(F.col("depth") > 0)
-        .select(
-            F.least("vertex", "parent").alias("u"),
-            F.greatest("vertex", "parent").alias("v"),
-        )
-        .persist()
-    )
-    nontree = e.join(tree, ["u", "v"], "left_anti").persist()
-    n_nontree = nontree.count()
+    rf = root_forest(spark, e, p, max_levels=max_levels)
+    state, dist, depth = rf.state, rf.dist, rf.depth
+    metrics.append({"phase": "root", "depth": depth, "sec": time.time() - t0})
 
     # --- 2. LIFT: binary ancestor tables --------------------------------
-    K = max(1, math.ceil(math.log2(max(depth, 1) + 1)))
-    up: list[DataFrame] = []
-    up0 = state.select("vertex", F.col("parent").alias("anc"))
-    up0 = _truncate(up0.repartition(p, "vertex").persist())
-    up0.count()
-    up.append(up0)
-    for k in range(1, K + 1):
-        prev = up[-1]
-        nxt = (
-            prev.alias("a")
-            .join(
-                prev.select(
-                    F.col("vertex").alias("anc"), F.col("anc").alias("anc2")
-                ).alias("b"),
-                "anc",
-            )
-            .select("vertex", F.col("anc2").alias("anc"))
-        )
-        nxt = _truncate(nxt.repartition(p, "vertex").persist())
-        nxt.count()
-        up.append(nxt)  # keep every level resident; each is vertex-sized
-
-    metrics.append({"phase": "lift", "levels": K + 1, "sec": time.time() - t0})
+    up = build_lifts(state, depth, p)
+    metrics.append({"phase": "lift", "levels": len(up), "sec": time.time() - t0})
 
     cnt = None
-    if n_nontree > 0:
+    if rf.n_nontree > 0:
         # --- 3. LCA over the non-tree edges ------------------------------
-        du = dist.withColumnRenamed("vertex", "u").withColumnRenamed("dist", "du")
-        dv = dist.withColumnRenamed("vertex", "v").withColumnRenamed("dist", "dv")
-        st = (
-            nontree.join(du, "u").join(dv, "v")
-            .select(
-                "u", "v",
-                F.col("u").alias("au"), F.col("v").alias("av"),
-                "du", "dv",
-            )
+        lca = lca_nontree(rf.nontree, dist, up, p).select("u", "v", "lca")
+        metrics.append(
+            {"phase": "lca", "edges": rf.n_nontree, "sec": time.time() - t0}
         )
-        # equalize depths: lift the deeper side by 2^k whenever the depth
-        # difference admits it (standard big-to-small bit walk)
-        for k in range(K, -1, -1):
-            step = 1 << k
-            uk = up[k]
-            st = (
-                st.join(
-                    uk.select(F.col("vertex").alias("au"), F.col("anc").alias("jau")),
-                    "au", "left",
-                )
-                .join(
-                    uk.select(F.col("vertex").alias("av"), F.col("anc").alias("jav")),
-                    "av", "left",
-                )
-                .select(
-                    "u", "v",
-                    F.when(F.col("du") - F.col("dv") >= step, F.col("jau"))
-                    .otherwise(F.col("au")).alias("au"),
-                    F.when(F.col("dv") - F.col("du") >= step, F.col("jav"))
-                    .otherwise(F.col("av")).alias("av"),
-                    F.when(F.col("du") - F.col("dv") >= step, F.col("du") - step)
-                    .otherwise(F.col("du")).alias("du"),
-                    F.when(F.col("dv") - F.col("du") >= step, F.col("dv") - step)
-                    .otherwise(F.col("dv")).alias("dv"),
-                )
-            )
-            st = _truncate(st.repartition(p, "au").persist())
-            st.count()
-        # descend: jump both sides while their 2^k ancestors differ
-        for k in range(K, -1, -1):
-            uk = up[k]
-            st = (
-                st.join(
-                    uk.select(F.col("vertex").alias("au"), F.col("anc").alias("jau")),
-                    "au", "left",
-                )
-                .join(
-                    uk.select(F.col("vertex").alias("av"), F.col("anc").alias("jav")),
-                    "av", "left",
-                )
-                .select(
-                    "u", "v",
-                    F.when(
-                        (F.col("au") != F.col("av"))
-                        & (F.col("jau") != F.col("jav")),
-                        F.col("jau"),
-                    ).otherwise(F.col("au")).alias("au"),
-                    F.when(
-                        (F.col("au") != F.col("av"))
-                        & (F.col("jau") != F.col("jav")),
-                        F.col("jav"),
-                    ).otherwise(F.col("av")).alias("av"),
-                    "du", "dv",
-                )
-            )
-            st = _truncate(st.repartition(p, "au").persist())
-            st.count()
-        lca = (
-            st.join(
-                up[0].select(F.col("vertex").alias("au"), F.col("anc").alias("pau")),
-                "au", "left",
-            )
-            .select(
-                "u", "v",
-                F.when(F.col("au") == F.col("av"), F.col("au"))
-                .otherwise(F.col("pau")).alias("lca"),
-            )
-        )
-        metrics.append({"phase": "lca", "edges": n_nontree, "sec": time.time() - t0})
 
         # --- 4. cover counts ---------------------------------------------
         cnt = (
             lca.select(F.col("u").alias("vertex"), F.lit(1).alias("c"))
             .unionByName(lca.select(F.col("v").alias("vertex"), F.lit(1).alias("c")))
-            .unionByName(lca.select(F.col("lca").alias("vertex"), F.lit(-2).alias("c")))
+            .unionByName(
+                lca.select(F.col("lca").alias("vertex"), F.lit(-2).alias("c"))
+            )
             .groupBy("vertex")
             .agg(F.sum("c").alias("c"))
         )
@@ -291,11 +141,15 @@ def bridges(
     if cnt is not None:
         acc = acc.join(cnt, "vertex", "left")
         acc = acc.select(
-            "vertex", "parent", "depth",
+            "vertex",
+            "parent",
+            "depth",
             F.coalesce("c", F.lit(0)).cast("long").alias("acc"),
         )
     else:
-        acc = acc.select("vertex", "parent", "depth", F.lit(0).cast("long").alias("acc"))
+        acc = acc.select(
+            "vertex", "parent", "depth", F.lit(0).cast("long").alias("acc")
+        )
     acc = _truncate(acc.repartition(p, "vertex").persist())
     acc.count()
     for lvl in range(int(depth), 0, -1):
@@ -304,12 +158,11 @@ def bridges(
             .groupBy(F.col("parent").alias("vertex"))
             .agg(F.sum("acc").alias("add"))
         )
-        acc = (
-            acc.join(contrib, "vertex", "left")
-            .select(
-                "vertex", "parent", "depth",
-                (F.col("acc") + F.coalesce("add", F.lit(0))).alias("acc"),
-            )
+        acc = acc.join(contrib, "vertex", "left").select(
+            "vertex",
+            "parent",
+            "depth",
+            (F.col("acc") + F.coalesce("add", F.lit(0))).alias("acc"),
         )
         acc = _truncate(acc.repartition(p, "vertex").persist())
         acc.count()
@@ -335,12 +188,9 @@ def bridges(
         lab = connected_components(
             spark, keep.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         ).components
-        twoecc = (
-            verts.join(lab, "vertex", "left")
-            .select(
-                "vertex",
-                F.coalesce("component", F.col("vertex")).alias("component"),
-            )
+        twoecc = verts.join(lab, "vertex", "left").select(
+            "vertex",
+            F.coalesce("component", F.col("vertex")).alias("component"),
         )
     metrics.append({"phase": "done", "bridges": nb, "sec": time.time() - t0})
     return BridgesResult(bri, twoecc, nb, int(depth), metrics)
