@@ -219,6 +219,24 @@ def main() -> None:
 
     run("bridges_tree_ring", _bridges_tree_ring)
 
+    def _biconnected_mix(s, d):
+        from connected_components_3d_spark.operators.biconnectivity import (
+            biconnected,
+        )
+
+        return biconnected(s, dq.bridge_mix_edges(s, d)).edge_blocks
+
+    run("biconnected_mix", _biconnected_mix)
+
+    def _louvain_cliques(s, d):
+        from connected_components_3d_spark.operators.louvain import louvain
+
+        return louvain(
+            s, dq.clique_ring_edges(s, d), sweeps_per_level=2, max_levels=2
+        ).communities
+
+    run("louvain_cliques", _louvain_cliques)
+
     def _hyperball_r2(s, d):
         from connected_components_3d_spark.operators.neighborhood import (
             hyperball,

@@ -643,6 +643,232 @@ _TREE_RING_EDGES_SQL = f"""(
 )"""
 
 
+def clique_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring of 5-cliques over the customers: bucket b = (c_custkey−1)//5
+    is a 5-clique (10 intra edges), consecutive buckets bridge through
+    their min members (c, c+5), and the last bucket's min member closes
+    the ring back to vertex 1 — planted community structure where the
+    local-moving sweeps genuinely move vertices (singleton → clique
+    communities), not a fixture that converges trivially. Vertex ids are
+    v = c_custkey + 1 (custkeys are contiguous 0-based), keeping every id
+    strictly positive so Spark FLOOR division and DuckDB's
+    truncate-toward-zero `//` agree on bucket assignment."""
+    customer = load_table(spark, sf_dir, "customer")
+    n = customer.count()  # scalar only
+    base = customer.selectExpr("CAST(c_custkey + 1 AS BIGINT) AS v")
+    intra = base.alias("a").join(
+        base.alias("b"),
+        (F.expr("FLOOR((a.v - 1) / 5)") == F.expr("FLOOR((b.v - 1) / 5)"))
+        & (F.col("a.v") < F.col("b.v")),
+    ).select(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+    bridge = base.where(f"(v - 1) % 5 = 0 AND v + 5 <= {n}").selectExpr(
+        "v AS src", "v + 5 AS dst"
+    )
+    closure = spark.range(1).selectExpr(
+        f"CAST({n} - 4 AS BIGINT) AS src", "CAST(1 AS BIGINT) AS dst"
+    )
+    return intra.unionByName(bridge).unionByName(closure)
+
+
+_CLIQUE_RING_EDGES_SQL = """(
+  SELECT (a.c_custkey + 1)::BIGINT AS src, (b.c_custkey + 1)::BIGINT AS dst
+  FROM customer a JOIN customer b
+    ON (a.c_custkey // 5) = (b.c_custkey // 5)
+   AND a.c_custkey < b.c_custkey
+  UNION ALL
+  SELECT (a.c_custkey + 1)::BIGINT, (a.c_custkey + 6)::BIGINT
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 5
+  WHERE a.c_custkey % 5 = 0
+  UNION ALL
+  SELECT (MAX(c_custkey) - 3)::BIGINT, 1::BIGINT FROM customer
+)"""
+
+
+def q_louvain_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O65 on the driver gate: two parity-alternating Louvain local-moving
+    sweeps (one level, fixed rounds, exact HUGEINT modularity gains) over
+    the ring-of-5-cliques customer fixture, min-member-canonical labels.
+    Oracle: chained-CTE replay of the identical integer decision process
+    (`_louvain_sweeps_sql`), hash-exact. The full multi-level operator
+    (contraction, early stop) is pytest-gated (tests/test_louvain.py)."""
+    from .operators.louvain import louvain_sweeps
+
+    return louvain_sweeps(spark, clique_ring_edges(spark, sf_dir), sweeps=2)
+
+
+def q_louvain_refined_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O66 on the driver gate: Leiden-style connectivity refinement
+    (operators/louvain.refine_communities) applied to the two-sweep
+    Louvain labels over the ring-of-5-cliques fixture — every output
+    community is guaranteed internally connected. Oracle: the sweeps
+    replay plus a recursive-CTE min-label closure restricted to
+    intra-community edges, hash-exact."""
+    from .operators.louvain import louvain_sweeps, refine_communities
+
+    e = clique_ring_edges(spark, sf_dir)
+    return refine_communities(spark, e, louvain_sweeps(spark, e, sweeps=2))
+
+
+def q_sweepcut_ppr_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O67 on the driver gate: ACL sweep cut over the bipartite graph
+    ranked by the 5-iteration seeded-PPR vector (rounded to 8 — the same
+    replayable contract `ppr_bipartite` pins, making every downstream
+    ordering key and division bit-identical), sweep depth capped at 400.
+    Oracle: the PPR chained-CTE replay feeding a plain windowed-SQL
+    prefix-conductance computation, hash-exact on the full prefix table."""
+    from .operators.sweepcut import sweep_cut
+
+    e = bipartite_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("vertex")).distinct().orderBy("vertex").limit(10)
+    )
+    res = personalized_pagerank(spark, e, seeds, fixed_iters=5)
+    scores = res.ranks.select("vertex", F.round("rank", 8).alias("score"))
+    sc = sweep_cut(spark, e, scores, top_n=400)
+    return sc.prefixes
+
+
+def _sweepcut_ppr_sql() -> str:
+    # lazy: _ppr_sql is defined further down the module
+    return f"""WITH scores AS MATERIALIZED (
+  SELECT vertex, rank AS score FROM ({_ppr_sql(5, 0.85, 10)}) pprq
+),
+e2 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM {_BIPARTITE_EDGES_SQL} be WHERE src <> dst
+),
+degt AS MATERIALIZED (SELECT vertex, COUNT(*)::BIGINT AS deg FROM
+  (SELECT u AS vertex FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+m2 AS (SELECT SUM(deg)::BIGINT AS two_m FROM degt),
+sup AS MATERIALIZED (
+  SELECT s.vertex, d.deg, s.score / d.deg AS ratio
+  FROM scores s JOIN degt d ON s.vertex = d.vertex WHERE s.score > 0
+),
+rk AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT vertex, deg, ratio,
+      ROW_NUMBER() OVER (ORDER BY ratio DESC, vertex ASC)::INT AS rank
+    FROM sup) WHERE rank <= 400
+),
+perr AS MATERIALIZED (
+  SELECT GREATEST(a.rank, b.rank) AS rank, 2 * COUNT(*) AS w2
+  FROM e2 JOIN rk a ON e2.u = a.vertex JOIN rk b ON e2.v = b.vertex
+  GROUP BY 1
+),
+pref AS (
+  SELECT r.rank, r.vertex, r.ratio,
+    SUM(r.deg) OVER w AS vol,
+    SUM(COALESCE(p.w2, 0)) OVER w AS int2
+  FROM rk r LEFT JOIN perr p ON p.rank = r.rank
+  WINDOW w AS (ORDER BY r.rank ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT rank, vertex, ratio, vol::BIGINT AS vol,
+  (vol - int2)::BIGINT AS cut,
+  CASE WHEN LEAST(vol, (SELECT two_m FROM m2) - vol) > 0
+       THEN (vol - int2)::DOUBLE
+            / LEAST(vol, (SELECT two_m FROM m2) - vol)
+  END AS conductance
+FROM pref"""
+
+
+
+
+
+# deterministic URL fixture over documents — five branches covering scheme
+# case, www, userinfo, default/explicit/stripped ports, multi-part suffixes,
+# tracking params, duplicate query keys, schemeless, trailing-& empty param
+_URL_FIXTURE_EXPR = (
+    "CASE CAST(doc_id % 5 AS INT)"
+    " WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/doc/'"
+    " || {id} || '?utm_source=feed&b=' || lang || '&a=1#top'"
+    " WHEN 1 THEN 'http://user:pw@' || source || '.Example.com:8080/a//'"
+    " || {id} || '/'"
+    " WHEN 2 THEN 'https://cdn.' || source"
+    " || '.example.com.au/p?gclid=x&z=9&y=8&z=7'"
+    " WHEN 3 THEN 'http://' || source || '.example.com:80'"
+    " ELSE source || '.org/x?ref=rss&' END"
+)
+
+
+def q_url_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O68 on the driver gate: URL canonicalization (functions/urls.py)
+    over a deterministic 5-branch URL fixture synthesized from documents.
+    Oracle: the same string algebra stated with DuckDB string_split /
+    list_filter / list_sort — hash-exact on (normalized, host, domain)."""
+    from .functions.urls import registrable_domain, url_host, url_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_FIXTURE_EXPR.format(id="CAST(doc_id AS STRING)"))
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), url.alias("url")
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        url_normalize("url").alias("normalized"),
+        url_host("url").alias("host"),
+        registrable_domain("url").alias("domain"),
+    )
+
+
+def _url_normalize_sql() -> str:
+    url = _URL_FIXTURE_EXPR.format(id="CAST(doc_id AS VARCHAR)")
+    multi = ", ".join(
+        f"'{s}'"
+        for s in (
+            "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
+            "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn",
+            "com.mx", "co.in", "co.kr", "co.za", "com.tr", "com.ar",
+        )
+    )
+    return f"""WITH u0 AS (SELECT doc_id::BIGINT AS doc_id, {url} AS url
+  FROM documents),
+st AS (SELECT doc_id, url,
+  CASE WHEN strpos(url, '://') > 0
+       THEN lower(split_part(url, '://', 1)) ELSE '' END AS scheme,
+  split_part(CASE WHEN strpos(url, '://') > 0
+    THEN array_to_string(string_split(url, '://')[2:], '://')
+    ELSE url END, '#', 1) AS rest
+  FROM u0),
+hp AS (SELECT *, lower(string_split(split_part(split_part(rest, '/', 1),
+  '?', 1), '@')[-1]) AS hostport FROM st),
+comp AS (SELECT *,
+  split_part(hostport, ':', 1) AS host,
+  CASE WHEN strpos(hostport, ':') > 0
+       THEN string_split(hostport, ':')[-1] ELSE '' END AS port,
+  CASE WHEN strpos(rest, '/') > 0
+       THEN split_part('/' || array_to_string(string_split(rest, '/')[2:],
+            '/'), '?', 1) ELSE '' END AS path0,
+  CASE WHEN strpos(rest, '?') > 0
+       THEN array_to_string(string_split(rest, '?')[2:], '?')
+       ELSE '' END AS q
+  FROM hp),
+norm AS (SELECT *,
+  CASE WHEN starts_with(host, 'www.') THEN host[5:] ELSE host END AS hostn,
+  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+  array_to_string(list_sort(list_filter(string_split(q, '&'),
+    x -> x <> '' AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+      AND split_part(x, '=', 1) NOT IN
+      ('gclid', 'fbclid', 'msclkid', 'ref', '_ga'))), '&') AS qn,
+  string_split(host, '.') AS labels
+  FROM comp)
+SELECT doc_id, url,
+  CASE WHEN url IS NULL OR url = '' THEN '' ELSE
+    scheme || '://' || hostn ||
+    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+         AND NOT (scheme = 'https' AND port = '443')
+         THEN ':' || port ELSE '' END ||
+    path || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END
+  END AS normalized,
+  host,
+  CASE WHEN len(labels) <= 2 THEN host
+       WHEN array_to_string(labels[-2:], '.') IN ({multi})
+            AND len(labels) >= 3 THEN array_to_string(labels[-3:], '.')
+       ELSE array_to_string(labels[-2:], '.') END AS domain
+FROM norm"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -3746,6 +3972,96 @@ def _neighborhood_sql(edge_sql: str, radius: int) -> str:
     )
 
 
+def _louvain_sweeps_ctes(edge_sql: str, sweeps: int) -> list[str]:
+    """Chained-CTE replay of operators/louvain.louvain_sweeps: canonical
+    weighted simple graph (w = parallel-row count), weighted degrees with
+    self-loops counted twice, then per sweep s (parity s%2) the exact
+    HUGEINT gain table gain2m(i→c) = 2m·k_{i,c} − k_i·(Σtot(c) −
+    [c=own]·k_i), best non-own move by (g DESC, c ASC), move iff the best
+    gain strictly beats the stay gain — the same integer argmax the Spark
+    sweep runs, so the final min-member labels hash-match bit-for-bit."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT LEAST(src, dst) AS u,"
+        f" GREATEST(src, dst) AS v, COUNT(*)::BIGINT AS w"
+        f" FROM {edge_sql} ed GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT u AS i, v AS j, w FROM e WHERE u <> v"
+        " UNION ALL SELECT v, u, w FROM e WHERE u <> v)",
+        "selfw AS MATERIALIZED (SELECT u AS i, SUM(w) AS sw FROM e"
+        " WHERE u = v GROUP BY 1)",
+        "deg AS MATERIALIZED (SELECT COALESCE(a.i, b.i) AS i,"
+        " (COALESCE(a.kn, 0) + 2 * COALESCE(b.sw, 0))::BIGINT AS k"
+        " FROM (SELECT i, SUM(w) AS kn FROM sym GROUP BY 1) a"
+        " FULL OUTER JOIN selfw b ON a.i = b.i)",
+        "m2 AS MATERIALIZED (SELECT 2 * SUM(w) AS two_m FROM e)",
+        "cm0 AS MATERIALIZED (SELECT i AS vertex, i AS comm FROM deg)",
+    ]
+    for s in range(sweeps):
+        parity = s % 2
+        parts += [
+            f"kic{s} AS MATERIALIZED (SELECT sy.i AS i, c.comm AS c,"
+            f" SUM(sy.w) AS kic FROM sym sy"
+            f" JOIN cm{s} c ON sy.j = c.vertex GROUP BY 1, 2)",
+            f"tot{s} AS MATERIALIZED (SELECT c.comm AS c, SUM(d.k) AS tot"
+            f" FROM cm{s} c JOIN deg d ON c.vertex = d.i GROUP BY 1)",
+            f"cand{s} AS MATERIALIZED (SELECT i, c, SUM(kic) AS kic FROM"
+            f" (SELECT i, c, kic FROM kic{s} UNION ALL"
+            f" SELECT vertex, comm, 0::BIGINT FROM cm{s}) u(i, c, kic)"
+            f" GROUP BY 1, 2)",
+            f"gain{s} AS MATERIALIZED (SELECT cd.i, cd.c, o.comm AS own,"
+            f" (SELECT two_m FROM m2)::HUGEINT * cd.kic::HUGEINT"
+            f" - d.k::HUGEINT * (t.tot - CASE WHEN cd.c = o.comm"
+            f" THEN d.k ELSE 0 END)::HUGEINT AS g"
+            f" FROM cand{s} cd JOIN cm{s} o ON cd.i = o.vertex"
+            f" JOIN tot{s} t ON cd.c = t.c JOIN deg d ON cd.i = d.i)",
+            f"best{s} AS MATERIALIZED (SELECT i, c AS bc, g AS bg FROM"
+            f" (SELECT i, c, g, ROW_NUMBER() OVER (PARTITION BY i"
+            f" ORDER BY g DESC, c ASC) AS rn FROM gain{s}"
+            f" WHERE c <> own) WHERE rn = 1)",
+            f"stay{s} AS MATERIALIZED (SELECT i, g AS sg FROM gain{s}"
+            f" WHERE c = own)",
+            f"cm{s + 1} AS MATERIALIZED (SELECT m.vertex,"
+            f" CASE WHEN m.vertex % 2 = {parity} AND b.bg IS NOT NULL"
+            f" AND b.bg > COALESCE(s.sg, 0::HUGEINT)"
+            f" THEN b.bc ELSE m.comm END AS comm"
+            f" FROM cm{s} m LEFT JOIN best{s} b ON m.vertex = b.i"
+            f" LEFT JOIN stay{s} s ON m.vertex = s.i)",
+        ]
+    parts.append(
+        f"louv AS MATERIALIZED (SELECT m.vertex, r.community"
+        f" FROM cm{sweeps} m JOIN"
+        f" (SELECT comm, MIN(vertex) AS community FROM cm{sweeps}"
+        f" GROUP BY comm) r ON m.comm = r.comm)"
+    )
+    return parts
+
+
+def _louvain_sweeps_sql(edge_sql: str, sweeps: int) -> str:
+    body = ",\n".join(_louvain_sweeps_ctes(edge_sql, sweeps))
+    return f"{body}\nSELECT vertex, community FROM louv"
+
+
+def _louvain_refined_sql(edge_sql: str, sweeps: int) -> str:
+    """Sweeps replay + Leiden-style connectivity refinement: min-label
+    closure (recursive CTE) over the INTRA-community edge subset — the
+    exact relational statement of operators/louvain.refine_communities."""
+    body = ",\n".join(_louvain_sweeps_ctes(edge_sql, sweeps))
+    return f"""WITH RECURSIVE {body.removeprefix("WITH ")},
+intra AS MATERIALIZED (
+  SELECT e.u AS x, e.v AS y FROM e
+  JOIN louv a ON e.u = a.vertex JOIN louv b ON e.v = b.vertex
+  WHERE a.community = b.community AND e.u <> e.v
+),
+isym AS MATERIALIZED (
+  SELECT x, y FROM intra UNION ALL SELECT y, x FROM intra
+),
+lab AS (
+  SELECT vertex AS vtx, vertex AS lbl FROM louv
+  UNION
+  SELECT k.y, l.lbl FROM lab l JOIN isym k ON k.x = l.vtx
+)
+SELECT vtx AS vertex, MIN(lbl) AS community FROM lab GROUP BY vtx"""
+
+
 def _core_numbers_sql(edge_sql: str, max_k: int, rounds: int) -> str:
     """Per-k chained-CTE peel replays: m{k} = vertices of the k-core
     (k = 2..max_k, each peeled ``rounds`` rounds from the previous k-core —
@@ -4386,6 +4702,12 @@ GROUP BY 1, 2""",
         # 5 peel rounds per k-level >= the tree+ring fixpoint depths (<= 3
         # measured); m5 is empty (max core 3) -- margin on both
         "core_numbers_ring": _core_numbers_sql(_TREE_RING_EDGES_SQL, 5, 5),
+        "louvain_cliques": _louvain_sweeps_sql(_CLIQUE_RING_EDGES_SQL, 2),
+        "louvain_refined_cliques": _louvain_refined_sql(
+            _CLIQUE_RING_EDGES_SQL, 2
+        ),
+        "sweepcut_ppr_bipartite": _sweepcut_ppr_sql(),
+        "url_normalize_docs": _url_normalize_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -4870,6 +5192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_dist_bipartite": q_degree_dist_bipartite,
         "powerlaw_alpha_bipartite": q_powerlaw_alpha_bipartite,
         "core_numbers_ring": q_core_numbers_ring,
+        "louvain_cliques": q_louvain_cliques,
+        "louvain_refined_cliques": q_louvain_refined_cliques,
+        "sweepcut_ppr_bipartite": q_sweepcut_ppr_bipartite,
+        "url_normalize_docs": q_url_normalize_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,

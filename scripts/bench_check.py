@@ -58,6 +58,9 @@ GATED_TOTALS = [
     "cooccurrence_events",
     "funnel_events",
     "temporal_reach_events",
+    "bridges_tree_ring",
+    "biconnected_mix",
+    "louvain_cliques",
 ]
 
 
