@@ -869,6 +869,147 @@ SELECT doc_id, url,
 FROM norm"""
 
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_corpus_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O69 on the driver gate: deterministic map-only train/val/test
+    assignment (operators/split.split_by_hash) of documents by
+    md5(doc_id‖':v1') hex-range — no shuffle, no count, stable under
+    repartition/appends. Oracle: the identical CASE over md5 substrings
+    in DuckDB (same lowercase hex, same string comparison), hash-exact."""
+    from .operators.split import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_by_hash(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")),
+        "doc_id",
+        _SPLIT_FRACS,
+    )
+
+
+def _corpus_split_sql() -> str:
+    from .operators.split import split_boundaries
+
+    bounds = split_boundaries(_SPLIT_FRACS)
+    whens = " ".join(
+        f"WHEN h <= '{b}' THEN '{name}'" for name, b in bounds[:-1]
+    )
+    return f"""WITH h0 AS (SELECT doc_id::BIGINT AS doc_id,
+  substr(md5(doc_id::VARCHAR || ':v1'), 1, 15) AS h FROM documents)
+SELECT doc_id, CASE {whens} ELSE '{bounds[-1][0]}' END AS split FROM h0"""
+
+
+def q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O69b on the driver gate: per-(source, lang) contribution cap
+    (operators/split.cap_per_group) — keep the 3 longest docs per group,
+    ties to the smallest doc_id, rank retained. Oracle: plain-SQL
+    ROW_NUMBER window, hash-exact."""
+    from .operators.split import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return cap_per_group(
+        docs, ["source", "lang"], 3,
+        order_col="n_chars", tiebreak_col="doc_id", rank_col="rk",
+    ).select("source", "lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+
+
+_CAP_PER_SOURCE_SQL = """SELECT source, lang, doc_id::BIGINT AS doc_id,
+  n_chars::BIGINT AS n_chars, rk::INT AS rk FROM (
+  SELECT source, lang, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source, lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents) WHERE rk <= 3"""
+
+
+_MIX_WEIGHTS = {"en": 2.25, "fr": 0.5, "zh": 0.0}
+
+
+def q_corpus_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O71 on the driver gate: deterministic corpus mixing
+    (operators/mix.mix_corpus) of documents by lang — en upsampled 2.25×
+    (every row twice, a hash-chosen quarter thrice), fr downsampled to
+    0.5×, zh dropped, everything else kept once; copies materialized with
+    copy_idx. Oracle: the identical CASE weights + md5 hex-bound test +
+    generate_series lateral in DuckDB, hash-exact."""
+    from .operators.mix import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    out = mix_corpus(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    return out.select(
+        "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+def _corpus_mix_sql() -> str:
+    from .operators.mix import _frac_bound
+
+    whole = " ".join(
+        f"WHEN '{g}' THEN {int(w)}" for g, w in _MIX_WEIGHTS.items()
+    )
+    extra = " ".join(
+        f"WHEN '{g}' THEN '{_frac_bound(w - int(w))}'"
+        for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"""WITH h0 AS (SELECT doc_id::BIGINT AS doc_id, lang,
+  substr(md5(doc_id::VARCHAR || ':mix:v1'), 1, 15) AS h FROM documents),
+w AS (SELECT doc_id, lang,
+  (CASE lang {whole} ELSE 1 END)
+  + CASE WHEN (CASE lang {extra} ELSE '' END) <> ''
+         AND h <= (CASE lang {extra} ELSE '' END)
+    THEN 1 ELSE 0 END AS n
+  FROM h0)
+SELECT doc_id, lang, UNNEST(range(0, n))::BIGINT AS copy_idx
+FROM w WHERE n > 0"""
+
+
+def q_diameter_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O70 on the driver gate: double-sweep diameter lower bound
+    (operators/diameter.py) over the tree+nation-ring graph — start u =
+    min vertex, every argmax tie to the smallest id, so the whole
+    procedure is deterministic. Oracle: two recursive-CTE BFS closures
+    with the same argmax/tie rule, hash-exact on the one-row summary."""
+    from .operators.diameter import diameter_double_sweep
+
+    return diameter_double_sweep(spark, tree_ring_edges(spark, sf_dir)).summary
+
+
+_DIAMETER_TREE_RING_SQL = f"""WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT src, dst FROM {_TREE_RING_EDGES_SQL} tr WHERE src <> dst
+),
+es AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0
+),
+u0 AS MATERIALIZED (SELECT MIN(a) AS u FROM es),
+w1(vertex, dist) AS (
+  SELECT u, 0 FROM u0
+  UNION
+  SELECT e.b, w.dist + 1 FROM w1 w JOIN es e ON e.a = w.vertex
+  WHERE w.dist < 40
+),
+d1 AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM w1 GROUP BY 1),
+p1 AS MATERIALIZED (SELECT vertex AS v, dist AS ecc_u FROM d1
+  ORDER BY dist DESC, vertex ASC LIMIT 1),
+w2(vertex, dist) AS (
+  SELECT v, 0 FROM p1
+  UNION
+  SELECT e.b, w.dist + 1 FROM w2 w JOIN es e ON e.a = w.vertex
+  WHERE w.dist < 40
+),
+d2 AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM w2 GROUP BY 1),
+p2 AS MATERIALIZED (SELECT vertex AS w, dist AS ecc_v FROM d2
+  ORDER BY dist DESC, vertex ASC LIMIT 1)
+SELECT (SELECT u FROM u0)::BIGINT AS u, p1.v::BIGINT AS v,
+  p2.w::BIGINT AS w, p1.ecc_u::BIGINT AS ecc_u,
+  p2.ecc_v::BIGINT AS ecc_v, p2.ecc_v::BIGINT AS lower_bound
+FROM p1, p2"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -4708,6 +4849,10 @@ GROUP BY 1, 2""",
         ),
         "sweepcut_ppr_bipartite": _sweepcut_ppr_sql(),
         "url_normalize_docs": _url_normalize_sql(),
+        "corpus_split_docs": _corpus_split_sql(),
+        "cap_per_source_docs": _CAP_PER_SOURCE_SQL,
+        "diameter_tree_ring": _DIAMETER_TREE_RING_SQL,
+        "corpus_mix_docs": _corpus_mix_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5196,6 +5341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_refined_cliques": q_louvain_refined_cliques,
         "sweepcut_ppr_bipartite": q_sweepcut_ppr_bipartite,
         "url_normalize_docs": q_url_normalize_docs,
+        "corpus_split_docs": q_corpus_split_docs,
+        "cap_per_source_docs": q_cap_per_source_docs,
+        "diameter_tree_ring": q_diameter_tree_ring,
+        "corpus_mix_docs": q_corpus_mix_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
