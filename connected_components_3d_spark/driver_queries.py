@@ -968,6 +968,30 @@ SELECT doc_id, lang, UNNEST(range(0, n))::BIGINT AS copy_idx
 FROM w WHERE n > 0"""
 
 
+def q_heavy_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O72 on the driver gate: exact heavy hitters (φ = 0.005) over the
+    exploded token stream of documents — 2-pass Misra–Gries candidates +
+    semi-join-pruned exact recount. The OUTPUT is exact and independent
+    of the order-sensitive sketch, which is what lets a plain GROUP
+    BY/HAVING oracle hash-match it."""
+    from .functions.text import tokens
+    from .operators.heavyhitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(spark, toks, "tok", phi=0.005).hitters
+
+
+def _heavy_tokens_sql() -> str:
+    tok = _TOK.format(c="text")
+    return f"""WITH toks AS MATERIALIZED (SELECT UNNEST({tok}) AS value
+  FROM documents),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM toks)
+SELECT value, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY value
+HAVING COUNT(*) >=
+  CAST(FLOOR(0.005 * (SELECT n FROM nn)) AS BIGINT) + 1"""
+
+
 def q_diameter_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O70 on the driver gate: double-sweep diameter lower bound
     (operators/diameter.py) over the tree+nation-ring graph — start u =
@@ -4853,6 +4877,7 @@ GROUP BY 1, 2""",
         "cap_per_source_docs": _CAP_PER_SOURCE_SQL,
         "diameter_tree_ring": _DIAMETER_TREE_RING_SQL,
         "corpus_mix_docs": _corpus_mix_sql(),
+        "heavy_tokens_docs": _heavy_tokens_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5345,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_docs": q_cap_per_source_docs,
         "diameter_tree_ring": q_diameter_tree_ring,
         "corpus_mix_docs": q_corpus_mix_docs,
+        "heavy_tokens_docs": q_heavy_tokens_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
