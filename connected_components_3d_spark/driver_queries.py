@@ -992,6 +992,59 @@ HAVING COUNT(*) >=
   CAST(FLOOR(0.005 * (SELECT n FROM nn)) AS BIGINT) + 1"""
 
 
+def q_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O73 on the driver gate: politeness frontier schedule
+    (operators/frontier.py) over the synthesized URL fixture — host from
+    the O68 string algebra, shard = md5 hex-range bucket of the host
+    (8 shards), rank by (n_chars DESC, url ASC) within host, wave =
+    (rank−1)//2. Oracle: the same host extraction, CASE-over-md5 shard,
+    and a plain ROW_NUMBER window, hash-exact."""
+    from .operators.frontier import politeness_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_FIXTURE_EXPR.format(id="CAST(doc_id AS STRING)"))
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url.alias("url"),
+        F.col("n_chars").cast("long").alias("prio"),
+    )
+    out = politeness_schedule(
+        d, priority_col="prio", per_host_rate=2, num_shards=8,
+        tiebreak_col="doc_id",  # fixture URLs repeat; doc_id totalizes
+    )
+    return out.select(
+        "doc_id", "url", "host",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("wave").cast("long").alias("wave"),
+    )
+
+
+def _frontier_sql() -> str:
+    from .operators.frontier import shard_boundaries
+
+    url = _URL_FIXTURE_EXPR.format(id="CAST(doc_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN sh <= '{b}' THEN {i}"
+        for i, b in enumerate(shard_boundaries(8)[:-1])
+    )
+    return f"""WITH u0 AS (SELECT doc_id::BIGINT AS doc_id, {url} AS url,
+  n_chars::BIGINT AS prio FROM documents),
+st AS (SELECT *, split_part(CASE WHEN strpos(url, '://') > 0
+    THEN array_to_string(string_split(url, '://')[2:], '://')
+    ELSE url END, '#', 1) AS rest FROM u0),
+hh AS (SELECT *, split_part(lower(string_split(split_part(split_part(rest,
+  '/', 1), '?', 1), '@')[-1]), ':', 1) AS host FROM st),
+sh0 AS (SELECT *, substr(md5(host || ':shard:v1'), 1, 15) AS sh FROM hh),
+rk AS (SELECT doc_id, url, host,
+  (CASE {whens} ELSE 7 END)::INT AS shard,
+  ROW_NUMBER() OVER (PARTITION BY host
+                     ORDER BY prio DESC, url ASC, doc_id ASC)::INT AS rank
+  FROM sh0)
+SELECT doc_id, url, host, shard, rank,
+  ((rank - 1) // 2)::BIGINT AS wave FROM rk"""
+
+
 def q_diameter_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O70 on the driver gate: double-sweep diameter lower bound
     (operators/diameter.py) over the tree+nation-ring graph — start u =
@@ -4878,6 +4931,7 @@ GROUP BY 1, 2""",
         "diameter_tree_ring": _DIAMETER_TREE_RING_SQL,
         "corpus_mix_docs": _corpus_mix_sql(),
         "heavy_tokens_docs": _heavy_tokens_sql(),
+        "frontier_docs": _frontier_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5371,6 +5425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_tree_ring": q_diameter_tree_ring,
         "corpus_mix_docs": q_corpus_mix_docs,
         "heavy_tokens_docs": q_heavy_tokens_docs,
+        "frontier_docs": q_frontier_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
