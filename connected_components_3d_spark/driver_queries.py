@@ -331,6 +331,20 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
 
 
+def q_pagerank_warm_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7f on the driver gate: warm-started PageRank (the incremental
+    recrawl path) — 3 cold fixed iterations, then 2 more warm-started
+    from that vector. One PR step is affine, so the composition must
+    equal 5 cold iterations: the oracle is literally the SAME 5-iteration
+    chained-CTE replay `pagerank_bipartite` uses, making the warm-start
+    plumbing (init join, Σ-rank dangling mass, missing-vertex fill)
+    hash-exact by construction."""
+    e = bipartite_edges(spark, sf_dir)
+    cold = pagerank(spark, e, fixed_iters=3)
+    warm = pagerank(spark, e, fixed_iters=2, init_ranks=cold.ranks)
+    return warm.ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
 def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = hits(spark, bipartite_edges(spark, sf_dir), fixed_iters=4)
     return res.scores.select(
@@ -510,6 +524,73 @@ def q_msf_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = weighted(te, 0).unionByName(weighted(ring, 1048576))
     res = minimum_spanning_forest(spark, ew)
     return res.forest
+
+
+def q_linkage_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O74 on the driver gate: single-linkage clusters at height 2^19 of
+    the weighted tree∪ring fixture (q_msf_tree_ring weights: tree in
+    [1, 2^20], ring offset by 2^20 — the ring is always cut, roughly half
+    the tree survives). The OPERATOR goes through the Borůvka MSF + CC
+    composition (operators/linkage.py); the ORACLE uses the defining fact
+    directly — clusters at height t ≡ components of the ≤t-threshold
+    graph — as a recursive-CTE min-label closure. Agreement certifies the
+    Gower–Ross MSF-cut equivalence end to end, hash-exact."""
+    from .operators.linkage import single_linkage
+
+    te = tree_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    ring = nation.selectExpr(
+        "CAST(100 + n_nationkey AS BIGINT) AS src",
+        "CAST(100 + (n_nationkey + 1) % 25 AS BIGINT) AS dst",
+    )
+
+    def weighted(df, offset):
+        u = F.least("src", "dst")
+        v = F.greatest("src", "dst")
+        return df.select(
+            F.col("src"),
+            F.col("dst"),
+            (_msf_weight(u, v) + F.lit(offset).cast("long")).alias("weight"),
+        )
+
+    ew = weighted(te, 0).unionByName(weighted(ring, 1048576))
+    res = single_linkage(spark, ew, height=524288)
+    return res.clusters
+
+
+def _linkage_sql() -> str:
+    m, a = 2147483647, 1103515245
+
+    def w(u: str, v: str) -> str:
+        return (
+            f"(((7::BIGINT * {a} + {u}) % {m}) * {a} + {v})"
+            f" % {m} % 1048576 + 1"
+        )
+
+    return f"""WITH RECURSIVE te AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM {_TREE_EDGES_SQL} t),
+ringe AS MATERIALIZED (SELECT
+  LEAST(100 + n1.n_nationkey, 100 + (n1.n_nationkey + 1) % 25)::BIGINT AS u,
+  GREATEST(100 + n1.n_nationkey, 100 + (n1.n_nationkey + 1) % 25)::BIGINT AS v
+  FROM nation n1 JOIN nation n2
+  ON n2.n_nationkey = (n1.n_nationkey + 1) % 25),
+ew AS MATERIALIZED (
+  SELECT u, v, ({w('u', 'v')}) AS w FROM te
+  UNION ALL
+  SELECT u, v, 1048576 + ({w('u', 'v')}) FROM ringe),
+kept AS MATERIALIZED (SELECT u, v FROM ew WHERE w <= 524288),
+ksym AS MATERIALIZED (
+  SELECT u AS x, v AS y FROM kept UNION ALL SELECT v, u FROM kept),
+verts AS MATERIALIZED (
+  SELECT DISTINCT u AS vtx FROM ew UNION SELECT v FROM ew),
+lab AS (
+  SELECT vtx, vtx AS lbl FROM verts
+  UNION
+  SELECT k.y, l.lbl FROM lab l JOIN ksym k ON k.x = l.vtx
+)
+SELECT vtx::BIGINT AS vertex, MIN(lbl)::BIGINT AS cluster
+FROM lab GROUP BY vtx"""
 
 
 def q_ssjoin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4748,6 +4829,7 @@ SELECT COALESCE(od.vertex, id_.vertex) AS vertex,
   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
 FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
+        "pagerank_warm_bipartite": _pagerank_sql(5, 0.85),
         "hits_bipartite": _hits_sql(4),
         "salsa_bipartite": _salsa_sql(4),
         "eigenvector_bipartite": _eigenvector_sql(4),
@@ -4839,6 +4921,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "mis_copart": _mis_sql(10, 42),
         "coloring_ring": _coloring_sql(8, 42),
         "msf_tree_ring": _msf_sql(),
+        "linkage_tree_ring": _linkage_sql(),
         # brute-force all-pairs oracle for the prefix-filtered exact
         # similarity join (q_ssjoin_documents): same tokenizer, same integer
         # threshold test 20*inter >= 19*union (t = 0.95 = 19/20)
@@ -5382,6 +5465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_tree": q_dust_tree,
         "degrees_bipartite": q_degrees_bipartite,
         "pagerank_bipartite": q_pagerank_bipartite,
+        "pagerank_warm_bipartite": q_pagerank_warm_bipartite,
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,
         "salsa_bipartite": q_salsa_bipartite,
@@ -5393,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copart": q_mis_copart,
         "coloring_ring": q_coloring_ring,
         "msf_tree_ring": q_msf_tree_ring,
+        "linkage_tree_ring": q_linkage_tree_ring,
         "ssjoin_documents": q_ssjoin_documents,
         "sssp_tree": q_sssp_tree,
         "butterflies_bipartite": q_butterflies_bipartite,

@@ -53,6 +53,7 @@ def pagerank(
     salting_min_edges: int = 10_000_000,
     pre_partitioned: bool = False,
     assume_distinct: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """PageRank on the DIRECTED edge table (duplicate edges are dropped —
     simple-graph semantics, matching a networkx DiGraph built from the same
@@ -70,6 +71,17 @@ def pagerank(
     exchange, so they default off. ``pre_partitioned`` disables int-packing
     (the cast re-projects src, erasing the relation's known partitioning) —
     store the bucketed table at int width to get both.
+
+    ``init_ranks`` (vertex, rank) warm-starts the iteration instead of the
+    uniform vector — the incremental-recrawl path: after an edge-batch
+    update, restart from yesterday's ranks and converge in a handful of
+    iterations instead of ~50. Vertices absent from ``init_ranks`` start
+    at 1/n; the initial dangling mass is Σ rank over dangling vertices
+    (for the uniform start the legacy count/n formula is kept
+    bit-for-bit). Because one PR step is AFFINE (r' = αAr + b), k warm
+    iterations from a j-iteration vector equal j+k cold iterations on the
+    SAME graph — the `pagerank_warm_bipartite` gate row pins exactly
+    that (3 cold + 2 warm ≡ the 5-iteration chained-CTE oracle).
     """
     # shuffle-once layout: the edge table is hash-partitioned by src a single
     # time and persisted; every iteration's contribs join then lines up with
@@ -131,7 +143,22 @@ def pagerank(
         "vertex", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
     )
 
-    ranks = _truncate(vstat.select("vertex", "out_deg", F.lit(1.0 / n).alias("rank")))
+    if init_ranks is None:
+        ranks = _truncate(
+            vstat.select("vertex", "out_deg", F.lit(1.0 / n).alias("rank"))
+        )
+    else:
+        ir = init_ranks.select(
+            F.col("vertex").cast("int" if packed else "long").alias("vertex"),
+            F.col("rank").cast("double").alias("init_rank"),
+        )
+        ranks = _truncate(
+            vstat.join(ir, "vertex", "left").select(
+                "vertex",
+                "out_deg",
+                F.coalesce("init_rank", F.lit(1.0 / n)).alias("rank"),
+            )
+        )
 
     n_edges = e.count()
 
@@ -158,9 +185,17 @@ def pagerank(
     metrics: list[dict] = []
     converged = False
     it = 0
-    # danglesum for iteration 0 (x0 uniform): alpha * n_dangling / n
-    dangle0 = ranks.where(F.col("out_deg") == 0).count()
-    danglesum = alpha * dangle0 / n
+    if init_ranks is None:
+        # danglesum for iteration 0 (x0 uniform): alpha * n_dangling / n
+        dangle0 = ranks.where(F.col("out_deg") == 0).count()
+        danglesum = alpha * dangle0 / n
+    else:
+        d0 = (
+            ranks.where(F.col("out_deg") == 0)
+            .agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"]
+        )
+        danglesum = alpha * (d0 or 0.0)
     for it in range(iters):
         t0 = time.time()
         joined = e.join(

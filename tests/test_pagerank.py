@@ -60,3 +60,29 @@ def test_fixed_iters_deterministic(spark):
     a = pagerank(spark, e, fixed_iters=5).ranks.collect()
     b = pagerank(spark, e, fixed_iters=5).ranks.collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_warm_start_composition(spark):
+    """Affine composition: 2 warm iterations after 3 cold ≡ 5 cold, to
+    float-sum reassociation noise; and warm start from the converged
+    vector stays converged in one iteration."""
+    import random
+
+    rng = random.Random(9)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(300)})
+    df = edges_df(spark, pairs)
+    cold5 = pagerank(spark, df, fixed_iters=5)
+    cold3 = pagerank(spark, df, fixed_iters=3)
+    warm = pagerank(spark, df, fixed_iters=2, init_ranks=cold3.ranks)
+    a = {r["vertex"]: r["rank"] for r in cold5.ranks.collect()}
+    b = {r["vertex"]: r["rank"] for r in warm.ranks.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+    # warm start from a converged vector: one iteration, still converged
+    conv = pagerank(spark, df, tol=1e-10)
+    again = pagerank(spark, df, tol=1e-10, init_ranks=conv.ranks)
+    assert again.converged and again.num_iters == 1
+    # missing vertices in init fall back to 1/n (operator doesn't crash)
+    partial = cold3.ranks.where("vertex % 2 = 0")
+    res = pagerank(spark, df, fixed_iters=1, init_ranks=partial)
+    assert res.ranks.count() == len(a)
