@@ -345,6 +345,90 @@ def q_pagerank_warm_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warm.ranks.select("vertex", F.round("rank", 8).alias("rank"))
 
 
+def q_batch_ppr_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O75 on the driver gate: batch PPR — three seed groups (grp =
+    src % 3, the 4 smallest distinct srcs per group) diffused together
+    for 4 fixed iterations with SPARSE (vertex, grp) state. Oracle: a
+    DENSE chained-CTE replay (V×G frame) filtered to rank > 0, which
+    equals the sparse support exactly (support-equivalence argument in
+    operators/batchppr.py), ROUND(…, 8) absorbing sum reassociation."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.batchppr import batch_personalized_pagerank
+
+    e = bipartite_edges(spark, sf_dir)
+    srcs = e.select("src").distinct()
+    wnd = W.partitionBy(F.col("src") % 3).orderBy("src")
+    sd = (
+        srcs.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= 4)
+        .select(
+            F.col("src").alias("vertex"), (F.col("src") % 3).alias("grp")
+        )
+    )
+    res = batch_personalized_pagerank(spark, e, sd, fixed_iters=4)
+    return res.ranks.select(
+        "vertex", "grp", F.round("rank", 8).alias("rank")
+    )
+
+
+def _batch_ppr_sql(iters: int = 4, alpha: float = 0.85) -> str:
+    """Dense (V×G) chained-CTE replay of batch_personalized_pagerank's
+    fixed contract; final filter rank > 0 ≡ the operator's sparse
+    support."""
+    a = repr(alpha)
+    parts = [
+        f"WITH e AS MATERIALIZED {_BIPARTITE_EDGES_SQL}",
+        "v AS MATERIALIZED (SELECT src AS vertex FROM e"
+        " UNION SELECT dst FROM e)",
+        "od AS MATERIALIZED"
+        " (SELECT src AS vertex, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "sd AS MATERIALIZED (SELECT vertex, grp FROM"
+        " (SELECT src AS vertex, src % 3 AS grp,"
+        " ROW_NUMBER() OVER (PARTITION BY src % 3 ORDER BY src) AS rn"
+        " FROM (SELECT DISTINCT src FROM e) q) WHERE rn <= 4)",
+        "ns AS MATERIALIZED"
+        " (SELECT grp, COUNT(*)::DOUBLE AS k FROM sd GROUP BY grp)",
+        "grps AS MATERIALIZED (SELECT DISTINCT grp FROM sd)",
+        "vs AS MATERIALIZED (SELECT v.vertex, g.grp,"
+        " COALESCE(od.outdeg, 0) AS outdeg,"
+        " CASE WHEN sd.vertex IS NOT NULL THEN 1.0 / ns.k"
+        " ELSE 0.0 END AS t"
+        " FROM v CROSS JOIN grps g"
+        " LEFT JOIN od ON od.vertex = v.vertex"
+        " LEFT JOIN sd ON sd.vertex = v.vertex AND sd.grp = g.grp"
+        " LEFT JOIN ns ON ns.grp = g.grp)",
+        "r0 AS MATERIALIZED"
+        " (SELECT vertex, grp, outdeg, t, t AS rank FROM vs)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT grp,"
+            f" COALESCE(SUM(rank), 0.0) AS s FROM r{p}"
+            f" WHERE outdeg = 0 GROUP BY grp)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS vertex, r.grp,"
+            f" SUM(r.rank / r.outdeg) AS contrib"
+            f" FROM e JOIN r{p} r ON r.vertex = e.src WHERE r.outdeg > 0"
+            f" GROUP BY e.dst, r.grp)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vs.vertex, vs.grp, vs.outdeg,"
+            f" vs.t, {a}*COALESCE(c.contrib, 0.0)"
+            f" + ({a}*COALESCE(d.s, 0.0) + (1.0 - {a}))*vs.t AS rank"
+            f" FROM vs LEFT JOIN c{i} c ON c.vertex = vs.vertex"
+            f" AND c.grp = vs.grp"
+            f" LEFT JOIN d{i} d ON d.grp = vs.grp)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT vertex, grp::BIGINT AS grp,"
+        f" ROUND(rank, 8) AS rank FROM r{iters} WHERE rank > 0"
+    )
+
+
 def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = hits(spark, bipartite_edges(spark, sf_dir), fixed_iters=4)
     return res.scores.select(
@@ -4970,6 +5054,7 @@ JOIN comp cd ON cd.vertex = ce.dst
 WHERE cs.component <> cd.component
 GROUP BY 1, 2""",
         "ppr_bipartite": _ppr_sql(5, 0.85, 10),
+        "batch_ppr_bipartite": _batch_ppr_sql(4, 0.85),
         "scc_parts": _SCC_PARTS_SQL,
         "bowtie_parts": _BOWTIE_PARTS_SQL,
         "host_graph_orders": _HOST_GRAPH_ORDERS_SQL,
@@ -5468,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_bipartite": q_pagerank_warm_bipartite,
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,
+        "batch_ppr_bipartite": q_batch_ppr_bipartite,
         "salsa_bipartite": q_salsa_bipartite,
         "eigenvector_bipartite": q_eigenvector_bipartite,
         "katz_bipartite": q_katz_bipartite,
