@@ -260,3 +260,92 @@ def test_streaming_restart_midingest_exactly_once(spark, tmp_path):
     # WITHOUT distinct == batch count WITH distinct ⇒ no dupes and no losses
     assert sink.count() == want
     assert sink.select("src", "dst", "warc_ts").distinct().count() == want
+
+
+def _drop_edges(spark, pairs, input_dir, name):
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(input_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_incremental_cc(spark, tmp_path):
+    """Edge batches arriving through the file source fold into the
+    standing (vertex, component) assignment; after each drain the state
+    equals a full CC over every edge seen so far, and a restart with a
+    new batch continues from committed state (idempotent versioned
+    commits)."""
+    from connected_components_3d_spark.operators.cc import (
+        connected_components,
+    )
+    from connected_components_3d_spark.streaming.cc_stream import (
+        read_components,
+        stream_components,
+    )
+
+    input_dir = str(tmp_path / "edges_in")
+    state_dir = str(tmp_path / "cc_state")
+    ckpt = str(tmp_path / "cc_ckpt")
+    os.makedirs(input_dir)
+
+    batches = [
+        [(1, 2), (3, 4), (5, 6)],          # three pairs
+        [(2, 3), (7, 8), (8, 9)],          # merges {1,2}∪{3,4}; new chain
+        [(6, 1), (9, 10), (100, 101)],     # merges {5,6} into {1..4}
+    ]
+
+    def drain():
+        stream = spark.readStream.schema("src long, dst long").parquet(
+            input_dir
+        )
+        q = (
+            stream_components(stream, state_dir, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    seen = []
+    for i, b in enumerate(batches[:2]):
+        _drop_edges(spark, b, input_dir, f"b{i}")
+        seen += b
+        drain()
+        got = {
+            (r["vertex"], r["component"])
+            for r in read_components(spark, state_dir).collect()
+        }
+        want = {
+            (r["vertex"], r["component"])
+            for r in connected_components(
+                spark,
+                spark.createDataFrame(seen, "src long, dst long"),
+                method="hashmin",
+            ).components.collect()
+        }
+        assert got == want
+
+    # "restart": a fresh query instance on the same checkpoint + state
+    _drop_edges(spark, batches[2], input_dir, "b2")
+    seen += batches[2]
+    drain()
+    got = {
+        (r["vertex"], r["component"])
+        for r in read_components(spark, state_dir).collect()
+    }
+    assert (5, 1) in got and (6, 1) in got  # late merge collapsed to min id
+    want = {
+        (r["vertex"], r["component"])
+        for r in connected_components(
+            spark,
+            spark.createDataFrame(seen, "src long, dst long"),
+            method="hashmin",
+        ).components.collect()
+    }
+    assert got == want
