@@ -236,6 +236,10 @@ def main() -> None:
         ).communities
 
     run("louvain_cliques", _louvain_cliques)
+    run("sweepcut_ppr_bipartite", dq.q_sweepcut_ppr_bipartite)
+    run("batch_ppr_bipartite", dq.q_batch_ppr_bipartite)
+    run("heavy_tokens_docs", dq.q_heavy_tokens_docs)
+    run("linkage_tree_ring", dq.q_linkage_tree_ring)
 
     def _hyperball_r2(s, d):
         from connected_components_3d_spark.operators.neighborhood import (

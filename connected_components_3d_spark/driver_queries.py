@@ -1252,6 +1252,54 @@ SELECT (SELECT u FROM u0)::BIGINT AS u, p1.v::BIGINT AS v,
 FROM p1, p2"""
 
 
+def q_recrawl_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O77 on the driver gate: freshness recrawl schedule
+    (operators/recrawl.py) over an observation history synthesized from
+    events — url = user_id, fetch ts = epoch µs, content hash =
+    floor(value·10) % 5 (so content genuinely changes between fetches),
+    event_id totalizes equal timestamps, now = max ts. All-integer
+    operands make the rate/priority doubles bit-identical, so the plain
+    SQL window oracle hash-matches with NO rounding."""
+    from .operators.recrawl import recrawl_priority
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("url"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.floor(F.col("value") * 10) % 5).cast("long").alias("content"),
+        F.col("event_id").cast("long").alias("oid"),
+    )
+    res = recrawl_priority(
+        ev, content_col="content", tiebreak_col="oid"
+    )
+    return res.schedule.select(
+        F.col("url").cast("long").alias("url"),
+        "n_obs", "n_changes", "span_us", "age_us", "rate", "priority",
+    )
+
+
+_RECRAWL_EVENTS_SQL = """WITH obs AS MATERIALIZED (
+  SELECT user_id::BIGINT AS url, epoch_us(ts) AS ts_us,
+    (CAST(FLOOR(value * 10) AS BIGINT) % 5)::VARCHAR AS content,
+    event_id::BIGINT AS oid
+  FROM events),
+nn AS (SELECT MAX(ts_us) AS now_us FROM obs),
+lg AS (SELECT url, ts_us, content,
+  LAG(content) OVER (PARTITION BY url ORDER BY ts_us, oid) AS prev
+  FROM obs),
+per AS (SELECT url, COUNT(*)::BIGINT AS n_obs,
+  SUM(CASE WHEN prev IS NOT NULL AND content <> prev THEN 1 ELSE 0
+      END)::BIGINT AS n_changes,
+  (MAX(ts_us) - MIN(ts_us))::BIGINT AS span_us,
+  MAX(ts_us) AS last_us
+  FROM lg GROUP BY url)
+SELECT url, n_obs, n_changes, span_us,
+  ((SELECT now_us FROM nn) - last_us)::BIGINT AS age_us,
+  (n_changes + 0.5) / (span_us + 1) AS rate,
+  ((n_changes + 0.5) / (span_us + 1))
+    * ((SELECT now_us FROM nn) - last_us) AS priority
+FROM per"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -5100,6 +5148,7 @@ GROUP BY 1, 2""",
         "corpus_mix_docs": _corpus_mix_sql(),
         "heavy_tokens_docs": _heavy_tokens_sql(),
         "frontier_docs": _frontier_sql(),
+        "recrawl_events": _RECRAWL_EVENTS_SQL,
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5597,6 +5646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_docs": q_corpus_mix_docs,
         "heavy_tokens_docs": q_heavy_tokens_docs,
         "frontier_docs": q_frontier_docs,
+        "recrawl_events": q_recrawl_events,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,

@@ -61,6 +61,10 @@ GATED_TOTALS = [
     "bridges_tree_ring",
     "biconnected_mix",
     "louvain_cliques",
+    "sweepcut_ppr_bipartite",
+    "batch_ppr_bipartite",
+    "heavy_tokens_docs",
+    "linkage_tree_ring",
 ]
 
 
