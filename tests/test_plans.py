@@ -151,3 +151,39 @@ def test_bucketed_input_feeds_cc_and_pagerank_without_edge_exchange(spark):
         assert all(abs(b[v] - r[v]) <= 1e-9 * max(1.0, abs(r[v])) for v in b)
     finally:
         spark.sql("DROP TABLE IF EXISTS e_kernel_bucketed_test")
+
+
+def test_split_and_mix_are_map_only(spark):
+    """The corpus split and mix operators claim MAP-ONLY execution —
+    their physical plans must contain ZERO exchanges: the hash-range
+    decision and the copy-materializing explode are per-row."""
+    from connected_components_3d_spark.operators.mix import mix_corpus
+    from connected_components_3d_spark.operators.split import split_by_hash
+
+    docs = load_table(spark, SF, "documents")
+    sp = split_by_hash(
+        docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.2}
+    )
+    assert exchange_count(sp) == 0, explain_str(sp)
+    mx = mix_corpus(
+        docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 2.25}
+    )
+    assert exchange_count(mx) == 0, explain_str(mx)
+
+
+def test_frontier_shard_is_map_side(spark):
+    """Frontier sharding adds exactly the per-host window's exchange on
+    top of the scan — host extraction and shard bucketing are row-local
+    (one exchange for the rank window, nothing else)."""
+    from connected_components_3d_spark.operators.frontier import (
+        politeness_schedule,
+    )
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id", "'https://h' || (doc_id % 5) || '.com/' || doc_id AS url",
+        "n_chars AS prio",
+    )
+    out = politeness_schedule(
+        docs, priority_col="prio", per_host_rate=2, num_shards=4
+    )
+    assert exchange_count(out) <= 1, explain_str(out)
