@@ -56,3 +56,37 @@ def test_start_override_and_component_scope(spark):
     assert res2.lower_bound == 3
     with pytest.raises(ValueError):
         diameter_double_sweep(spark, edges_df(spark, []).limit(0))
+
+
+def test_ifub_exact_diameter(spark):
+    from connected_components_3d_spark.operators.diameter import (
+        diameter_exact,
+    )
+    import random
+
+    # shapes + random connected graphs: exact must equal networkx diameter
+    graphs = [
+        nx.path_graph(10),
+        nx.cycle_graph(11),
+        nx.barbell_graph(4, 3),
+    ]
+    for seed in (5, 21):
+        rng = random.Random(seed)
+        g = nx.Graph()
+        g.add_edges_from((i, i + 1) for i in range(19))  # spine: connected
+        g.add_edges_from(
+            (rng.randrange(20), rng.randrange(20)) for _ in range(15)
+        )
+        g.remove_edges_from(nx.selfloop_edges(g))
+        graphs.append(g)
+    for g in graphs:
+        res = diameter_exact(spark, edges_df(spark, g.edges()))
+        assert res.exact, (res.diameter, res.upper_bound, res.num_bfs)
+        assert res.diameter == nx.diameter(g)
+        u, w = res.witness
+        assert nx.shortest_path_length(g, u, w) == res.diameter
+    # budget exhaustion degrades to bounds, never wrong answers
+    c = nx.cycle_graph(12)
+    res = diameter_exact(spark, edges_df(spark, c.edges()), max_bfs=3)
+    assert not res.exact
+    assert res.diameter <= nx.diameter(c) <= res.upper_bound
