@@ -1300,6 +1300,75 @@ SELECT url, n_obs, n_changes, span_us,
 FROM per"""
 
 
+def q_graph_summary_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O78 on the driver gate: the one-row graph summary
+    (operators/summary.py) of the tree+nation-ring graph — counts,
+    component structure, transitivity, and the double-sweep diameter
+    bound seeded at the largest component's min member. Oracle: one
+    composite SQL (closure components + canonical-pair triangle join +
+    dual recursive-CTE BFS), hash-exact."""
+    from .operators.summary import graph_summary
+
+    return graph_summary(spark, tree_ring_edges(spark, sf_dir)).summary
+
+
+_GRAPH_SUMMARY_SQL = f"""WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM {_TREE_RING_EDGES_SQL} tr WHERE src <> dst GROUP BY 1, 2),
+vv AS MATERIALIZED (SELECT DISTINCT x AS v FROM
+  (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0) ux),
+nv AS (SELECT COUNT(*)::BIGINT AS n FROM vv),
+ne AS (SELECT COUNT(*)::BIGINT AS n FROM e0),
+es AS MATERIALIZED (SELECT u AS x, v AS y FROM e0
+  UNION ALL SELECT v, u FROM e0),
+lab AS (
+  SELECT v AS vtx, v AS lbl FROM vv
+  UNION
+  SELECT e.y, l.lbl FROM lab l JOIN es e ON e.x = l.vtx
+),
+compt AS MATERIALIZED (SELECT vtx, MIN(lbl) AS comp FROM lab GROUP BY vtx),
+sizes AS MATERIALIZED (SELECT comp, COUNT(*)::BIGINT AS size FROM compt
+  GROUP BY comp),
+ncomp AS (SELECT COUNT(*)::BIGINT AS n FROM sizes),
+big AS MATERIALIZED (SELECT comp, size FROM sizes
+  ORDER BY size DESC, comp ASC LIMIT 1),
+degs AS MATERIALIZED (SELECT x AS vert, COUNT(*)::BIGINT AS deg FROM es
+  GROUP BY x),
+wed AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM degs),
+tri AS (SELECT COUNT(*)::BIGINT AS t FROM e0 ab
+  JOIN e0 ac ON ac.u = ab.u AND ac.v > ab.v
+  JOIN e0 bc ON bc.u = ab.v AND bc.v = ac.v),
+w1(vertex, dist) AS (
+  SELECT comp, 0 FROM big
+  UNION
+  SELECT e.y, w.dist + 1 FROM w1 w JOIN es e ON e.x = w.vertex
+  WHERE w.dist < 40
+),
+d1 AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM w1 GROUP BY 1),
+p1 AS MATERIALIZED (SELECT vertex AS v, dist AS ecc_u FROM d1
+  ORDER BY dist DESC, vertex ASC LIMIT 1),
+w2(vertex, dist) AS (
+  SELECT v, 0 FROM p1
+  UNION
+  SELECT e.y, w.dist + 1 FROM w2 w JOIN es e ON e.x = w.vertex
+  WHERE w.dist < 40
+),
+d2 AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM w2 GROUP BY 1),
+p2 AS MATERIALIZED (SELECT dist AS ecc_v FROM d2
+  ORDER BY dist DESC, vertex ASC LIMIT 1)
+SELECT (SELECT n FROM nv) AS n_vertices,
+  (SELECT n FROM ne) AS n_edges,
+  (SELECT n FROM ncomp) AS n_components,
+  (SELECT size FROM big) AS largest_size,
+  (SELECT size FROM big) / (SELECT n FROM nv) AS largest_frac,
+  (SELECT t FROM tri) AS n_triangles,
+  (SELECT w FROM wed) AS n_wedges,
+  ROUND(CASE WHEN (SELECT w FROM wed) > 0
+        THEN 3.0 * (SELECT t FROM tri) / (SELECT w FROM wed)
+        ELSE 0.0 END, 8) AS transitivity,
+  (SELECT ecc_v FROM p2)::BIGINT AS diameter_lb"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -5149,6 +5218,7 @@ GROUP BY 1, 2""",
         "heavy_tokens_docs": _heavy_tokens_sql(),
         "frontier_docs": _frontier_sql(),
         "recrawl_events": _RECRAWL_EVENTS_SQL,
+        "graph_summary_tree_ring": _GRAPH_SUMMARY_SQL,
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5647,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_tokens_docs": q_heavy_tokens_docs,
         "frontier_docs": q_frontier_docs,
         "recrawl_events": q_recrawl_events,
+        "graph_summary_tree_ring": q_graph_summary_tree_ring,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
