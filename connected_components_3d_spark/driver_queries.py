@@ -1369,6 +1369,64 @@ SELECT (SELECT n FROM nv) AS n_vertices,
   (SELECT ecc_v FROM p2)::BIGINT AS diameter_lb"""
 
 
+def q_domain_graph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O79 on the driver gate: registrable-domain link graph
+    (operators/hostgraph.domain_graph ∘ functions/urls) over synthetic
+    page links — every document links to document (doc_id·7+13) mod N
+    through the 5-branch URL fixture, projected to (src_domain,
+    dst_domain, weight) at the eTLD+1 level. Oracle: per-doc domain CTE
+    (the O68 string algebra) joined twice by doc id, hash-exact."""
+    from .operators.hostgraph import domain_graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # scalar only
+    url = F.expr(_URL_FIXTURE_EXPR.format(id="CAST(doc_id AS STRING)"))
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), url.alias("url")
+    )
+    tgt = d.select(
+        F.col("doc_id").alias("tgt_id"), F.col("url").alias("dst_url")
+    )
+    pairs = d.join(
+        tgt, (F.col("doc_id") * 7 + 13) % n == F.col("tgt_id")
+    ).select(F.col("url").alias("src_url"), "dst_url")
+    return domain_graph(pairs)
+
+
+def _domain_graph_sql() -> str:
+    url = _URL_FIXTURE_EXPR.format(id="CAST(doc_id AS VARCHAR)")
+    multi = ", ".join(
+        f"'{s}'"
+        for s in (
+            "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au",
+            "org.au", "co.jp", "ne.jp", "or.jp", "com.br", "com.cn",
+            "com.mx", "co.in", "co.kr", "co.za", "com.tr", "com.ar",
+        )
+    )
+    return f"""WITH u0 AS (SELECT doc_id::BIGINT AS doc_id, {url} AS url
+  FROM documents),
+st AS (SELECT doc_id, split_part(CASE WHEN strpos(url, '://') > 0
+    THEN array_to_string(string_split(url, '://')[2:], '://')
+    ELSE url END, '#', 1) AS rest FROM u0),
+hh AS (SELECT doc_id, split_part(lower(string_split(split_part(split_part(
+  rest, '/', 1), '?', 1), '@')[-1]), ':', 1) AS host FROM st),
+dom AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hh),
+dd AS (SELECT doc_id,
+  CASE WHEN len(labels) <= 2 THEN host
+       WHEN array_to_string(labels[-2:], '.') IN ({multi})
+            AND len(labels) >= 3 THEN array_to_string(labels[-3:], '.')
+       ELSE array_to_string(labels[-2:], '.') END AS domain
+  FROM dom),
+nn AS (SELECT COUNT(*)::BIGINT AS c FROM documents),
+pairs AS (SELECT a.domain AS src_domain, b.domain AS dst_domain
+  FROM dd a JOIN dd b
+  ON b.doc_id = (a.doc_id * 7 + 13) % (SELECT c FROM nn))
+SELECT src_domain, dst_domain, COUNT(*)::BIGINT AS weight FROM pairs
+WHERE src_domain <> '' AND dst_domain <> ''
+  AND src_domain <> dst_domain
+GROUP BY 1, 2"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -5219,6 +5277,7 @@ GROUP BY 1, 2""",
         "frontier_docs": _frontier_sql(),
         "recrawl_events": _RECRAWL_EVENTS_SQL,
         "graph_summary_tree_ring": _GRAPH_SUMMARY_SQL,
+        "domain_graph_docs": _domain_graph_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5718,6 +5777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_docs": q_frontier_docs,
         "recrawl_events": q_recrawl_events,
         "graph_summary_tree_ring": q_graph_summary_tree_ring,
+        "domain_graph_docs": q_domain_graph_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,

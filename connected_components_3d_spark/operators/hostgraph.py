@@ -57,6 +57,36 @@ def host_graph(
     )
 
 
+def domain_graph(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    drop_intra: bool = True,
+) -> DataFrame:
+    """Project page-level link edges to the REGISTRABLE-DOMAIN level
+    (eTLD+1 via functions/urls.registrable_domain) — the site unit that
+    host aggregation splits apart (blog.example.co.uk and
+    shop.example.co.uk are one owner): the right granularity for
+    ownership-level spam mass, crawl budgets, and dedup attribution.
+
+    Same shape as host_graph — map-side string algebra + one
+    (src_domain, dst_domain) groupBy carrying one row per DISTINCT
+    domain pair after partial aggregation. ``drop_intra`` removes
+    same-domain edges. Output: (src_domain, dst_domain, weight:long)."""
+    from ..functions.urls import registrable_domain
+
+    g = edges.select(
+        registrable_domain(src_col).alias("src_domain"),
+        registrable_domain(dst_col).alias("dst_domain"),
+    ).where((F.col("src_domain") != "") & (F.col("dst_domain") != ""))
+    if drop_intra:
+        g = g.where(F.col("src_domain") != F.col("dst_domain"))
+    return g.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("weight")
+    )
+
+
 def host_link_stats(
     edges: DataFrame,
     *,

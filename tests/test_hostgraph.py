@@ -100,3 +100,37 @@ def test_host_graph_plan_is_all_codegen(spark):
     df = spark.createDataFrame(URLS, "src_url string, dst_url string")
     plan = host_graph(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_domain_graph_etld1_rollup(spark):
+    """Subdomain hosts of one registrable domain collapse to a single
+    vertex; multi-part suffixes use three labels; intra-domain edges are
+    dropped by default and kept on request."""
+    from connected_components_3d_spark.operators.hostgraph import (
+        domain_graph,
+    )
+
+    pairs = [
+        # two subdomains of example.co.uk → one domain; target a.com
+        ("https://blog.example.co.uk/p1", "https://a.com/x"),
+        ("https://shop.example.co.uk/p2", "https://a.com/y"),
+        # www and bare host are the same domain
+        ("http://www.a.com/z", "https://cdn.b.org/q"),
+        # intra-domain (dropped by default)
+        ("https://a.com/1", "https://www.a.com/2"),
+        ("not a url at all", ""),  # unparseable → filtered via ''
+    ]
+    df = spark.createDataFrame(pairs, "src_url string, dst_url string")
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in domain_graph(df).collect()
+    }
+    assert got == {
+        ("example.co.uk", "a.com"): 2,
+        ("a.com", "b.org"): 1,
+    }
+    kept = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in domain_graph(df, drop_intra=False).collect()
+    }
+    assert kept[("a.com", "a.com")] == 1
