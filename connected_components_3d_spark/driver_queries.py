@@ -1427,6 +1427,63 @@ WHERE src_domain <> '' AND dst_domain <> ''
 GROUP BY 1, 2"""
 
 
+# multi-paragraph injection over documents (synthetic text has no
+# newlines): two per-doc-unique lines around two corpus-repeated
+# boilerplate lines (block repeats N/7 times, footer everywhere)
+_PARA_FIXTURE_EXPR = (
+    "'own ' || {id} || ' ' || substr(text, 1, 40) || chr(10)"
+    " || 'shared boilerplate block ' || {id7} || chr(10)"
+    " || 'footer follow us everywhere' || chr(10)"
+    " || 'tail ' || {id} || ' ' || substr(text, 41, 40)"
+)
+
+
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O80 on the driver gate: corpus paragraph dedup
+    (operators/paradedup.py, drop_repeats max_count=1) over the injected
+    multi-paragraph fixture — both boilerplate lines vanish everywhere,
+    both per-doc lines survive in order. Oracle: parallel-UNNEST
+    paragraph explode + count filter + ordered string_agg reassembly,
+    hash-exact."""
+    from .operators.paradedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(
+        _PARA_FIXTURE_EXPR.format(
+            id="CAST(doc_id AS STRING)", id7="CAST(doc_id % 7 AS STRING)"
+        )
+    )
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), t.alias("text")
+    )
+    return paragraph_dedup(d).docs
+
+
+def _paragraph_dedup_sql() -> str:
+    expr = _PARA_FIXTURE_EXPR.format(
+        id="CAST(doc_id AS VARCHAR)", id7="CAST(doc_id % 7 AS VARCHAR)"
+    )
+    return f"""WITH t0 AS (SELECT doc_id::BIGINT AS doc_id, {expr} AS t
+  FROM documents),
+p0 AS (SELECT doc_id, string_split(t, chr(10)) AS lst FROM t0),
+p AS (SELECT doc_id, para, pos FROM (
+  SELECT doc_id, UNNEST(lst) AS para,
+         UNNEST(range(1, len(lst) + 1)) AS pos FROM p0)
+  WHERE length(para) > 0),
+c AS (SELECT para, COUNT(*) AS n FROM p GROUP BY para),
+k AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN c ON c.para = p.para
+  WHERE c.n <= 1),
+tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_paras FROM p GROUP BY doc_id),
+kept AS (SELECT doc_id,
+  string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+  COUNT(*)::BIGINT AS n_kept FROM k GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(kept.text_clean, '') AS text_clean,
+  COALESCE(tot.n_paras, 0) AS n_paras, COALESCE(kept.n_kept, 0) AS n_kept
+FROM (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN kept ON kept.doc_id = d.doc_id"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -5278,6 +5335,7 @@ GROUP BY 1, 2""",
         "recrawl_events": _RECRAWL_EVENTS_SQL,
         "graph_summary_tree_ring": _GRAPH_SUMMARY_SQL,
         "domain_graph_docs": _domain_graph_sql(),
+        "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -5778,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_events": q_recrawl_events,
         "graph_summary_tree_ring": q_graph_summary_tree_ring,
         "domain_graph_docs": q_domain_graph_docs,
+        "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
