@@ -751,6 +751,24 @@ def q_walks_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.corpus
 
 
+def q_node2vec_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O24b on the driver gate: node2vec second-order biased walks
+    (length 4, p=4, q=1/4 — the outward/DFS-leaning setting, seed 42) over
+    the symmetrized tree graph, hash-compared against a chained-CTE DuckDB
+    replay of the exact integer categorical-sampling contract
+    (operators/walks.py ``node2vec_walks`` docstring)."""
+    from .operators.walks import node2vec_walks
+
+    e = tree_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    res = node2vec_walks(
+        spark, sym, walk_length=4, p=(4, 1), q=(1, 4), seed=42
+    )
+    return res.corpus
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -3621,6 +3639,76 @@ def _walks_sql(steps: int = 6, seed: int = 42) -> str:
     return f"{body}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _node2vec_sql(
+    steps: int = 4,
+    p: tuple[int, int] = (4, 1),
+    q: tuple[int, int] = (1, 4),
+    seed: int = 42,
+) -> str:
+    """Chained-CTE replay of ``node2vec_walks``'s determinism contract over
+    the symmetrized tree graph: at step t the walk on ``cur`` (from
+    ``prev``) weighs each out-neighbor u by the node2vec class weight
+    (p_den·q_num return / p_num·q_num in-ring / p_num·q_den outward; step 1
+    uniform), then picks the unique u whose cumulative-weight interval
+    (candidates ordered by u) contains
+    r = (mix3(s,t,0)·M + mix3(s,t,1)) % Σw — pure BIGINT arithmetic with
+    every intermediate < 2^63, so DuckDB computes the identical value Spark
+    does and the hash match is exact by construction. Same AS MATERIALIZED
+    rationale as _hits_sql."""
+    m, a = 2147483647, 1103515245
+    p_num, p_den = p
+    q_num, q_den = q
+    w_ret, w_in, w_out = p_den * q_num, p_num * q_num, p_num * q_den
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te))",
+        "w0 AS MATERIALIZED (SELECT vertex AS walk_id,"
+        " (-1)::BIGINT AS prev, vertex AS cur,"
+        f" ({seed}::BIGINT * {a} + vertex) % {m} AS smix"
+        " FROM (SELECT src AS vertex FROM e UNION SELECT dst FROM e))",
+    ]
+    for t in range(1, steps + 1):
+        pr = t - 1
+        if t == 1:
+            wexpr = "1::BIGINT"
+            join_pe = ""
+        else:
+            wexpr = (
+                f"CASE WHEN c.u = c.prev THEN {w_ret}::BIGINT"
+                f" WHEN pe.src IS NOT NULL THEN {w_in}::BIGINT"
+                f" ELSE {w_out}::BIGINT END"
+            )
+            join_pe = " LEFT JOIN e pe ON pe.src = c.prev AND pe.dst = c.u"
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT f.walk_id, f.smix, f.prev,"
+            f" f.cur, e.dst AS u FROM w{pr} f JOIN e ON e.src = f.cur)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT c.walk_id, c.smix, c.cur, c.u,"
+            f" {wexpr} AS w FROM c{t} c{join_pe})"
+        )
+        parts.append(
+            f"x{t} AS MATERIALIZED (SELECT *,"
+            " SUM(w) OVER (PARTITION BY walk_id ORDER BY u"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,"
+            f" SUM(w) OVER (PARTITION BY walk_id) AS tot FROM m{t})"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, smix, cur AS prev,"
+            f" u AS cur FROM x{t} WHERE"
+            f" ((((smix * {a} + {t}) % {m}) * {a}) % {m} * {m}"
+            f" + (((smix * {a} + {t}) % {m}) * {a} + 1) % {m}) % tot"
+            " BETWEEN cum - w AND cum - 1)"
+        )
+    body = ",\n".join(parts)
+    selects = ["SELECT walk_id, 0 AS step, walk_id AS vertex FROM w0"] + [
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(1, steps + 1)
+    ]
+    return f"{body}\n" + "\nUNION ALL\n".join(selects)
+
+
 def _sample_sql(fanouts: list[int] = [3, 2], seed: int = 42) -> str:
     """Chained-CTE replay of operators/sampling.py's determinism contract
     over the symmetrized tree graph: the adjacency gets a dense per-source
@@ -5232,6 +5320,7 @@ SELECT cells.cohort, k, n_active,
   ROUND(n_active::DOUBLE / n_cohort, 6) AS retention
 FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "walks_tree": _walks_sql(6, 42),
+        "node2vec_tree": _node2vec_sql(4, (4, 1), (1, 4), 42),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
         "mis_copart": _mis_sql(10, 42),
@@ -5794,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_bipartite": q_eigenvector_bipartite,
         "katz_bipartite": q_katz_bipartite,
         "walks_tree": q_walks_tree,
+        "node2vec_tree": q_node2vec_tree,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
