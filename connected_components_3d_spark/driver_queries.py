@@ -769,6 +769,25 @@ def q_node2vec_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.corpus
 
 
+def q_partition_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O81 on the driver gate: Spinner-style balanced 4-way partitioning
+    (3 rounds, slack 21/20, seed 42) of the ring-of-5-cliques customer
+    graph, hash-compared against a chained-CTE DuckDB replay of the
+    integer Spinner-score contract (operators/partitioning.py
+    docstring)."""
+    from .operators.partitioning import balanced_partitioning
+
+    res = balanced_partitioning(
+        spark,
+        clique_ring_edges(spark, sf_dir),
+        4,
+        fixed_rounds=3,
+        slack=(21, 20),
+        seed=42,
+    )
+    return res.assignment
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -3709,6 +3728,80 @@ def _node2vec_sql(
     return f"{body}\n" + "\nUNION ALL\n".join(selects)
 
 
+def _partitioning_sql(
+    edges_sql: str,
+    k: int = 4,
+    rounds: int = 3,
+    slack: tuple[int, int] = (21, 20),
+    seed: int = 42,
+) -> str:
+    """Chained-CTE replay of ``balanced_partitioning``'s determinism
+    contract: hash init part_0(v) = mix(seed, v) % k; per round, neighbor-
+    part counts n(v,c), loads L(c), integer Spinner score
+    n·C + deg·(C − L) with C = ⌈slack·V/k⌉, best-by-(score DESC, c) via
+    ROW_NUMBER, strict-improvement + parity-gated adoption. Pure BIGINT —
+    the hash match is exact by construction. Same AS MATERIALIZED rationale
+    as _hits_sql."""
+    m, a = 2147483647, 1103515245
+    s_num, s_den = slack
+    parts = [
+        f"WITH ce AS MATERIALIZED {edges_sql}",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)"
+        " WHERE src <> dst)",
+        "deg AS MATERIALIZED (SELECT src AS vertex, COUNT(*)::BIGINT AS deg"
+        " FROM sym GROUP BY src)",
+        f"capt AS MATERIALIZED (SELECT (({s_num} * COUNT(*)::BIGINT"
+        f" + {s_den * k} - 1) // {s_den * k}) AS cap FROM deg)",
+        f"a0 AS MATERIALIZED (SELECT vertex,"
+        f" (((({seed}::BIGINT * {a} + vertex) % {m}) % {k}))::INT AS part"
+        " FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        pr = r - 1
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT part, COUNT(*)::BIGINT AS load"
+            f" FROM a{pr} GROUP BY part)"
+        )
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT s.src AS vertex, x.part AS c,"
+            f" COUNT(*)::BIGINT AS n FROM sym s JOIN a{pr} x"
+            " ON x.vertex = s.dst GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT"
+            " COALESCE(n.vertex, cur.vertex) AS vertex,"
+            " COALESCE(n.c, cur.part) AS c, COALESCE(n.n, 0) AS n,"
+            " cur.vertex IS NOT NULL AS is_cur"
+            f" FROM n{r} n FULL JOIN a{pr} cur"
+            " ON cur.vertex = n.vertex AND cur.part = n.c)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT c.vertex, c.c, c.is_cur,"
+            " c.n * capt.cap + d.deg * (capt.cap - COALESCE(l.load, 0))"
+            " AS score"
+            f" FROM c{r} c JOIN deg d USING (vertex) CROSS JOIN capt"
+            f" LEFT JOIN l{r} l ON l.part = c.c)"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT vertex, c, score,"
+            " ROW_NUMBER() OVER (PARTITION BY vertex"
+            " ORDER BY score DESC, c) AS rn,"
+            " MAX(CASE WHEN is_cur THEN score END)"
+            " OVER (PARTITION BY vertex) AS cur_score"
+            f" FROM s{r})"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT b.vertex,"
+            f" (CASE WHEN (b.vertex + {r}) % 2 = 0"
+            " AND b.score > b.cur_score THEN b.c ELSE x.part END)::INT"
+            f" AS part FROM b{r} b JOIN a{pr} x USING (vertex)"
+            " WHERE b.rn = 1)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, part FROM a{rounds}"
+
+
 def _sample_sql(fanouts: list[int] = [3, 2], seed: int = 42) -> str:
     """Chained-CTE replay of operators/sampling.py's determinism contract
     over the symmetrized tree graph: the adjacency gets a dense per-source
@@ -5321,6 +5414,9 @@ SELECT cells.cohort, k, n_active,
 FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "walks_tree": _walks_sql(6, 42),
         "node2vec_tree": _node2vec_sql(4, (4, 1), (1, 4), 42),
+        "partition_cliques": _partitioning_sql(
+            _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
+        ),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
         "mis_copart": _mis_sql(10, 42),
@@ -5884,6 +5980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_bipartite": q_katz_bipartite,
         "walks_tree": q_walks_tree,
         "node2vec_tree": q_node2vec_tree,
+        "partition_cliques": q_partition_cliques,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
