@@ -788,6 +788,25 @@ def q_partition_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.assignment
 
 
+def q_hitting_time_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O82 on the driver gate: truncated hitting time (horizon 5) to the
+    region vertices over the symmetrized tree graph, hash-compared against
+    a chained-CTE DuckDB replay of the Sarkar–Moore recurrence
+    (operators/hitting.py docstring); ROUND(…, 8) absorbs cross-engine sum
+    reassociation, the _pagerank_sql rule."""
+    from .operators.hitting import truncated_hitting_time
+
+    e = tree_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("vertex")
+    )
+    res = truncated_hitting_time(spark, sym, seeds, horizon=5)
+    return res.times.select("vertex", F.round("h", 8).alias("h"))
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -3802,6 +3821,45 @@ def _partitioning_sql(
     return f"{body}\nSELECT vertex, part FROM a{rounds}"
 
 
+def _hitting_sql(horizon: int = 5) -> str:
+    """Chained-CTE replay of ``truncated_hitting_time``'s recurrence over
+    the symmetrized tree graph with the region vertices as seeds:
+    h_t(v) = 0 (seed) / t (dangling) / 1 + AVG over out-neighbors of
+    h_{t-1}; ROUND(…, 8) absorbs the ~1e-16 cross-engine sum-reassociation
+    difference (same rule as _pagerank_sql). Same AS MATERIALIZED
+    rationale as _hits_sql."""
+    parts = [
+        f"WITH te AS MATERIALIZED {_TREE_EDGES_SQL}",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te))",
+        "sd AS MATERIALIZED"
+        " (SELECT DISTINCT r_regionkey::BIGINT AS vertex FROM region)",
+        "verts AS MATERIALIZED (SELECT src AS vertex FROM e"
+        " UNION SELECT dst FROM e UNION SELECT vertex FROM sd)",
+        "cls AS MATERIALIZED (SELECT v.vertex,"
+        " sd.vertex IS NOT NULL AS seed, o.src IS NOT NULL AS has_out"
+        " FROM verts v LEFT JOIN sd ON sd.vertex = v.vertex"
+        " LEFT JOIN (SELECT DISTINCT src FROM e) o ON o.src = v.vertex)",
+        "h0 AS MATERIALIZED"
+        " (SELECT vertex, 0.0::DOUBLE AS h FROM cls)",
+    ]
+    for t in range(1, horizon + 1):
+        pr = t - 1
+        parts.append(
+            f"n{t} AS MATERIALIZED (SELECT e.src AS vertex,"
+            f" AVG(h.h) AS avg_h FROM e JOIN h{pr} h ON h.vertex = e.dst"
+            " GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT c.vertex,"
+            f" (CASE WHEN c.seed THEN 0.0 WHEN NOT c.has_out THEN {t}.0"
+            " ELSE 1.0 + n.avg_h END)::DOUBLE AS h"
+            f" FROM cls c LEFT JOIN n{t} n USING (vertex))"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT vertex, ROUND(h, 8) AS h FROM h{horizon}"
+
+
 def _sample_sql(fanouts: list[int] = [3, 2], seed: int = 42) -> str:
     """Chained-CTE replay of operators/sampling.py's determinism contract
     over the symmetrized tree graph: the adjacency gets a dense per-source
@@ -5417,6 +5475,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "partition_cliques": _partitioning_sql(
             _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
         ),
+        "hitting_time_tree": _hitting_sql(5),
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
         "mis_copart": _mis_sql(10, 42),
@@ -5981,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_tree": q_walks_tree,
         "node2vec_tree": q_node2vec_tree,
         "partition_cliques": q_partition_cliques,
+        "hitting_time_tree": q_hitting_time_tree,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
