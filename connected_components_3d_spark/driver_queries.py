@@ -807,6 +807,28 @@ def q_hitting_time_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.times.select("vertex", F.round("h", 8).alias("h"))
 
 
+def q_dust_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O83 on the driver gate: DUST parameter-rule mining
+    (operators/dust.py) over a planted fixture — page text depends only on
+    (source, page), so ``sess`` is content-irrelevant on every host and
+    ``page`` is content-bearing. Oracle: the same string algebra with
+    DuckDB list_filter/list_sort — hash-exact incl. the boolean verdict."""
+    from .operators.dust import param_dust_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr(
+            "'https://' || source || '.example.com/list?page='"
+            " || CAST(doc_id % 10 AS STRING) || '&sess='"
+            " || CAST(doc_id % 7 AS STRING)"
+        ).alias("url"),
+        F.expr("source || ' page ' || CAST(doc_id % 10 AS STRING)").alias(
+            "text"
+        ),
+    )
+    return param_dust_rules(d, min_support=2).rules
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -5476,6 +5498,41 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
             _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
         ),
         "hitting_time_tree": _hitting_sql(5),
+        "dust_rules_docs": """WITH p0 AS (
+  SELECT 'https://' || source || '.example.com/list?page='
+         || CAST(doc_id % 10 AS VARCHAR) || '&sess='
+         || CAST(doc_id % 7 AS VARCHAR) AS url,
+         source || ' page ' || CAST(doc_id % 10 AS VARCHAR) AS text
+  FROM documents),
+nf AS (SELECT url, split_part(url, '#', 1) AS nofrag, md5(text) AS fp
+  FROM p0),
+hh AS (SELECT *, split_part(lower(string_split(split_part(split_part(
+  CASE WHEN strpos(nofrag, '://') > 0
+       THEN array_to_string(string_split(nofrag, '://')[2:], '://')
+       ELSE nofrag END, '#', 1), '/', 1), '@')[-1]), ':', 1) AS host
+  FROM nf),
+tk AS (SELECT url, host, fp, split_part(nofrag, '?', 1) AS base,
+  list_filter(string_split(CASE WHEN strpos(nofrag, '?') > 0
+    THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END, '&'),
+    x -> x <> '') AS toks
+  FROM hh),
+tks AS (SELECT * FROM tk WHERE len(toks) > 0),
+pp AS (SELECT url, host, fp, base, toks, UNNEST(list_distinct(
+  list_transform(toks, t -> split_part(t, '=', 1)))) AS param
+  FROM tks),
+res AS (SELECT url, host, param, fp,
+  base || '?' || array_to_string(list_sort(list_filter(toks,
+    t -> split_part(t, '=', 1) <> param)), '&') AS residual
+  FROM pp),
+grp AS (SELECT host, param, residual,
+  COUNT(DISTINCT url) AS n_urls, COUNT(DISTINCT fp) AS n_fps
+  FROM res GROUP BY 1, 2, 3),
+g2 AS (SELECT * FROM grp WHERE n_urls >= 2)
+SELECT host, param, COUNT(*)::BIGINT AS n_groups,
+  SUM(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END)::BIGINT AS n_consistent,
+  (COUNT(*) >= 2 AND SUM(CASE WHEN n_fps = 1 THEN 1 ELSE 0 END) = COUNT(*))
+  AS irrelevant
+FROM g2 GROUP BY 1, 2""",
         "sample_tree": _sample_sql([3, 2], 42),
         "matching_tree": _matching_sql(12, 42),
         "mis_copart": _mis_sql(10, 42),
@@ -6041,6 +6098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_tree": q_node2vec_tree,
         "partition_cliques": q_partition_cliques,
         "hitting_time_tree": q_hitting_time_tree,
+        "dust_rules_docs": q_dust_rules_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
