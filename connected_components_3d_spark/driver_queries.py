@@ -829,6 +829,29 @@ def q_dust_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return param_dust_rules(d, min_support=2).rules
 
 
+def q_path_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O84 on the driver gate: per-host path-prefix rollup
+    (operators/pathtree.py, max_depth 2) over a 3-branch path fixture
+    (root / one-segment / two-segment URLs, query on one branch). Oracle:
+    the same host/path algebra with DuckDB string_split + UNNEST(range) —
+    hash-exact."""
+    from .operators.pathtree import path_prefix_rollup
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr(
+            "'https://' || source || '.example.com' ||"
+            " CASE CAST(doc_id % 3 AS INT)"
+            " WHEN 0 THEN ''"
+            " WHEN 1 THEN '/sec' || CAST(doc_id % 4 AS STRING) || '?q=1'"
+            " ELSE '/sec' || CAST(doc_id % 4 AS STRING) || '/page'"
+            " || CAST(doc_id % 5 AS STRING) END"
+        ).alias("url"),
+        F.col("text"),
+    )
+    return path_prefix_rollup(d, max_depth=2).rollup
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -5498,6 +5521,34 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
             _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
         ),
         "hitting_time_tree": _hitting_sql(5),
+        "path_rollup_docs": """WITH p0 AS (
+  SELECT 'https://' || source || '.example.com' ||
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN ''
+           WHEN 1 THEN '/sec' || CAST(doc_id % 4 AS VARCHAR) || '?q=1'
+           ELSE '/sec' || CAST(doc_id % 4 AS VARCHAR) || '/page'
+                || CAST(doc_id % 5 AS VARCHAR) END AS url,
+         text
+  FROM documents),
+st AS (SELECT url, text, split_part(CASE WHEN strpos(url, '://') > 0
+    THEN array_to_string(string_split(url, '://')[2:], '://')
+    ELSE url END, '#', 1) AS rest FROM p0),
+hh AS (SELECT *, split_part(lower(string_split(split_part(split_part(
+  rest, '/', 1), '?', 1), '@')[-1]), ':', 1) AS host FROM st),
+pt AS (SELECT host, text, split_part(CASE WHEN strpos(rest, '/') > 0
+    THEN '/' || array_to_string(string_split(rest, '/')[2:], '/')
+    ELSE '' END, '?', 1) AS praw FROM hh),
+sg AS (SELECT host, length(text)::BIGINT AS nb,
+  list_filter(string_split(CASE WHEN praw = '' THEN '/' ELSE praw END, '/'),
+    s -> s <> '') AS segs FROM pt),
+lv AS (SELECT host, nb, segs,
+  UNNEST(range(0, least(2, len(segs)) + 1)) AS depth FROM sg),
+px AS (SELECT host, depth::INT AS depth,
+  '/' || COALESCE(array_to_string(segs[1:depth], '/'), '') AS prefix, nb
+  FROM lv)
+SELECT host, depth, prefix, COUNT(*)::BIGINT AS n_pages,
+  SUM(nb)::BIGINT AS n_bytes
+FROM px GROUP BY 1, 2, 3""",
         "dust_rules_docs": """WITH p0 AS (
   SELECT 'https://' || source || '.example.com/list?page='
          || CAST(doc_id % 10 AS VARCHAR) || '&sess='
@@ -6099,6 +6150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_cliques": q_partition_cliques,
         "hitting_time_tree": q_hitting_time_tree,
         "dust_rules_docs": q_dust_rules_docs,
+        "path_rollup_docs": q_path_rollup_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
