@@ -852,6 +852,33 @@ def q_path_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_prefix_rollup(d, max_depth=2).rollup
 
 
+def q_crawl_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O85 on the driver gate: crawl snapshot diff summary
+    (operators/crawldiff.py) between two planted snapshots of the
+    documents table (doc_id % 11 = 0 absent from old → added;
+    % 13 = 0 absent from new → removed; % 5 = 0 rewritten in old →
+    changed). Oracle: md5-collapse + FULL JOIN + CASE restatement —
+    hash-exact."""
+    from .operators.crawldiff import crawl_diff
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "'https://' || source || '.example.com/doc/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+        F.col("text"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    old = docs.where("doc_id % 11 != 0").select(
+        "url",
+        F.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN 'old ' || text ELSE text END"
+        ).alias("text"),
+    )
+    new = docs.where("doc_id % 13 != 0").select("url", "text")
+    return crawl_diff(old, new).summary
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -5521,6 +5548,34 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
             _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
         ),
         "hitting_time_tree": _hitting_sql(5),
+        "crawl_diff_docs": """WITH d0 AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url, text, doc_id::BIGINT AS doc_id
+  FROM documents),
+oldc AS (SELECT url, MIN(md5(CASE WHEN doc_id % 5 = 0
+    THEN 'old ' || text ELSE text END)) AS fp_old
+  FROM d0 WHERE doc_id % 11 != 0 GROUP BY url),
+newc AS (SELECT url, MIN(md5(text)) AS fp_new
+  FROM d0 WHERE doc_id % 13 != 0 GROUP BY url),
+j AS (SELECT COALESCE(o.url, n.url) AS url, fp_old, fp_new
+  FROM oldc o FULL JOIN newc n ON o.url = n.url),
+st AS (SELECT url,
+  CASE WHEN fp_old IS NULL THEN 'added'
+       WHEN fp_new IS NULL THEN 'removed'
+       WHEN fp_old <> fp_new THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  split_part(lower(string_split(split_part(split_part(
+    split_part(CASE WHEN strpos(url, '://') > 0
+      THEN array_to_string(string_split(url, '://')[2:], '://')
+      ELSE url END, '#', 1), '/', 1), '?', 1), '@')[-1]), ':', 1) AS host
+  FROM j)
+SELECT host,
+  SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+  SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+  SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+  SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+    AS n_unchanged
+FROM st GROUP BY host""",
         "path_rollup_docs": """WITH p0 AS (
   SELECT 'https://' || source || '.example.com' ||
          CASE CAST(doc_id % 3 AS INT)
@@ -6151,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_time_tree": q_hitting_time_tree,
         "dust_rules_docs": q_dust_rules_docs,
         "path_rollup_docs": q_path_rollup_docs,
+        "crawl_diff_docs": q_crawl_diff_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
