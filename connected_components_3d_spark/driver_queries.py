@@ -879,6 +879,37 @@ def q_crawl_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_diff(old, new).summary
 
 
+def q_host_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O86 on the driver gate: Fetterly-style per-host statistical feature
+    vector (operators/hostfeatures.py) with a planted duplicate class
+    (doc_id % 4 = 0 share one body → dup_frac ≈ ¼ per host). Oracle: one
+    GROUP BY restatement; ROUND 8 on the float columns (stddev algorithms
+    differ between engines — Welford vs naive — well inside 1e-8)."""
+    from .operators.hostfeatures import host_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr(
+            "'https://' || source || '.example.com/doc/'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN 'dup boilerplate page body'"
+            " ELSE text END"
+        ).alias("text"),
+    )
+    f = host_features(d).features
+    return f.select(
+        "host",
+        "n_pages",
+        F.round("dup_frac", 8).alias("dup_frac"),
+        F.round("avg_len", 8).alias("avg_len"),
+        F.round("sd_len", 8).alias("sd_len"),
+        F.round("avg_words", 8).alias("avg_words"),
+        F.round("avg_word_len", 8).alias("avg_word_len"),
+    )
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -5548,6 +5579,31 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
             _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
         ),
         "hitting_time_tree": _hitting_sql(5),
+        "host_features_docs": """WITH d0 AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 4 = 0 THEN 'dup boilerplate page body'
+              ELSE text END AS t
+  FROM documents),
+f AS (SELECT
+  split_part(lower(string_split(split_part(split_part(
+    split_part(CASE WHEN strpos(url, '://') > 0
+      THEN array_to_string(string_split(url, '://')[2:], '://')
+      ELSE url END, '#', 1), '/', 1), '?', 1), '@')[-1]), ':', 1) AS host,
+  length(t)::BIGINT AS len, md5(t) AS fp,
+  len(list_filter(regexp_split_to_array(t, '\\s+'),
+      x -> x <> ''))::BIGINT AS n_words,
+  length(regexp_replace(t, '\\s', '', 'g'))::BIGINT AS n_wchars
+  FROM d0)
+SELECT host, COUNT(*)::BIGINT AS n_pages,
+  ROUND(1.0 - COUNT(DISTINCT fp)::DOUBLE / COUNT(*), 8) AS dup_frac,
+  ROUND(AVG(len), 8) AS avg_len,
+  ROUND(stddev_samp(len), 8) AS sd_len,
+  ROUND(AVG(n_words), 8) AS avg_words,
+  ROUND(CASE WHEN SUM(n_words) > 0
+    THEN SUM(n_wchars)::DOUBLE / SUM(n_words) ELSE 0.0 END, 8)
+    AS avg_word_len
+FROM f GROUP BY host""",
         "crawl_diff_docs": """WITH d0 AS (
   SELECT 'https://' || source || '.example.com/doc/'
          || CAST(doc_id AS VARCHAR) AS url, text, doc_id::BIGINT AS doc_id
@@ -6207,6 +6263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules_docs": q_dust_rules_docs,
         "path_rollup_docs": q_path_rollup_docs,
         "crawl_diff_docs": q_crawl_diff_docs,
+        "host_features_docs": q_host_features_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
