@@ -236,6 +236,10 @@ def main() -> None:
         ).communities
 
     run("louvain_cliques", _louvain_cliques)
+    run("node2vec_tree", dq.q_node2vec_tree)
+    run("partition_cliques", dq.q_partition_cliques)
+    run("hitting_time_tree", dq.q_hitting_time_tree)
+    run("dust_rules_docs", dq.q_dust_rules_docs)
     run("sweepcut_ppr_bipartite", dq.q_sweepcut_ppr_bipartite)
     run("batch_ppr_bipartite", dq.q_batch_ppr_bipartite)
     run("heavy_tokens_docs", dq.q_heavy_tokens_docs)

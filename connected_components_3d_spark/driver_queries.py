@@ -910,6 +910,71 @@ def q_host_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robustness_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O87 on the driver gate: targeted hub-removal robustness curve
+    (operators/robustness.py, fractions 0 and 0.02) over the tree+ring
+    graph — at 2% budget the whole-degree-class rule strips the nation/
+    region hub classes and shatters the customers into singletons. Oracle:
+    degree-histogram cutoff via window SQL + recursive-CTE min-label
+    closure per fraction — hash-exact (all-integer except the fraction
+    key)."""
+    from .operators.robustness import attack_robustness
+
+    res = attack_robustness(
+        spark, tree_ring_edges(spark, sf_dir), [0.0, 0.02]
+    )
+    return res.curve
+
+
+def _robustness_sql() -> str:
+    return f"""WITH RECURSIVE te AS MATERIALIZED {_TREE_RING_EDGES_SQL},
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te)
+  WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS vertex, COUNT(*)::BIGINT AS deg
+  FROM sym GROUP BY src),
+nv AS (SELECT COUNT(*)::BIGINT AS v FROM deg),
+hist AS (SELECT deg, COUNT(*)::BIGINT AS c FROM deg GROUP BY deg),
+tails AS (SELECT deg, SUM(c) OVER (ORDER BY deg DESC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail FROM hist),
+cut AS (SELECT MIN(deg) AS cutoff FROM tails
+  WHERE tail <= (SELECT CAST(FLOOR(0.02 * v) AS BIGINT) FROM nv)),
+rem AS (SELECT COALESCE((SELECT tail FROM tails, cut
+  WHERE tails.deg = cut.cutoff), 0)::BIGINT AS n_removed FROM (SELECT 1)),
+lab0 AS (
+  SELECT vertex AS vtx, vertex AS lbl FROM deg
+  UNION
+  SELECT s.dst, l.lbl FROM lab0 l JOIN sym s ON s.src = l.vtx
+),
+c0 AS (SELECT vtx, MIN(lbl) AS comp FROM lab0 GROUP BY vtx),
+s0 AS (SELECT COUNT(DISTINCT comp)::BIGINT AS n_comp,
+  MAX(cnt)::BIGINT AS gcc FROM
+  (SELECT comp, COUNT(*) AS cnt FROM c0 GROUP BY comp)),
+keepv AS MATERIALIZED (SELECT d.vertex FROM deg d, cut
+  WHERE cut.cutoff IS NULL OR d.deg < cut.cutoff),
+ksym AS MATERIALIZED (SELECT s.src, s.dst FROM sym s
+  JOIN keepv a ON a.vertex = s.src JOIN keepv b ON b.vertex = s.dst),
+lab1 AS (
+  SELECT vertex AS vtx, vertex AS lbl FROM keepv
+  UNION
+  SELECT s.dst, l.lbl FROM lab1 l JOIN ksym s ON s.src = l.vtx
+),
+c1 AS (SELECT vtx, MIN(lbl) AS comp FROM lab1 GROUP BY vtx),
+s1 AS (SELECT COUNT(DISTINCT comp)::BIGINT AS n_comp,
+  COALESCE(MAX(cnt), 0)::BIGINT AS gcc FROM
+  (SELECT comp, COUNT(*) AS cnt FROM c1 GROUP BY comp))
+SELECT 0.0::DOUBLE AS fraction, NULL::BIGINT AS cutoff_degree,
+  0::BIGINT AS n_removed, (SELECT v FROM nv) AS n_vertices_left,
+  (SELECT COUNT(*) // 2 FROM sym)::BIGINT AS n_edges_left,
+  s0.n_comp AS n_components, s0.gcc AS gcc_size FROM s0
+UNION ALL
+SELECT 0.02::DOUBLE, (SELECT cutoff FROM cut),
+  (SELECT n_removed FROM rem),
+  (SELECT v FROM nv) - (SELECT n_removed FROM rem),
+  (SELECT COUNT(*) // 2 FROM ksym)::BIGINT,
+  s1.n_comp, s1.gcc FROM s1"""
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -5579,6 +5644,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
             _CLIQUE_RING_EDGES_SQL, 4, 3, (21, 20), 42
         ),
         "hitting_time_tree": _hitting_sql(5),
+        "robustness_tree_ring": _robustness_sql(),
         "host_features_docs": """WITH d0 AS (
   SELECT 'https://' || source || '.example.com/doc/'
          || CAST(doc_id AS VARCHAR) AS url,
@@ -6264,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_rollup_docs": q_path_rollup_docs,
         "crawl_diff_docs": q_crawl_diff_docs,
         "host_features_docs": q_host_features_docs,
+        "robustness_tree_ring": q_robustness_tree_ring,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,

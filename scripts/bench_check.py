@@ -65,6 +65,10 @@ GATED_TOTALS = [
     "batch_ppr_bipartite",
     "heavy_tokens_docs",
     "linkage_tree_ring",
+    "node2vec_tree",
+    "partition_cliques",
+    "hitting_time_tree",
+    "dust_rules_docs",
 ]
 
 
