@@ -975,6 +975,46 @@ SELECT 0.02::DOUBLE, (SELECT cutoff FROM cut),
   s1.n_comp, s1.gcc FROM s1"""
 
 
+def q_rmat_edges_s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O88 on the driver gate: deterministic R-MAT edge generation
+    (sources/rmat.py, scale 8, canonical 0.57/0.19/0.19 skew, seed 42,
+    4 edges per customer row so the size tracks sf). Oracle:
+    generate_series × generate_series replay of the product-of-mixes
+    quadrant contract — pure BIGINT, hash-exact by construction."""
+    from .sources.rmat import rmat_edges
+
+    n = load_table(spark, sf_dir, "customer").count() * 4  # scalar only
+    return rmat_edges(spark, 8, n, seed=42)
+
+
+def _rmat_sql(scale: int = 8, seed: int = 42) -> str:
+    m, a_ = 2147483647, 1103515245
+    # EXACTLY the operator's float threshold arithmetic (0.57 + 0.19 in
+    # binary floats, then truncate) — a hand-simplified 0.76 could floor
+    # one ulp differently and flip a quadrant
+    ta = int(0.57 * m)
+    tb = int((0.57 + 0.19) * m)
+    tc = int((0.57 + 0.19 + 0.19) * m)
+    return f"""WITH ids AS (
+  -- 0..4n-1 without a subquery-fed generate_series (DuckDB binder limit):
+  -- custkeys are 0..n-1 contiguous (FIXTURES.md §1)
+  SELECT c_custkey::BIGINT * 4 + j.j AS id
+  FROM customer CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j) j),
+lv AS (SELECT l FROM generate_series(0, {scale - 1}) t(l)),
+q AS (SELECT id, l,
+  ((((({seed}::BIGINT * {a_} + id) % {m}) * {a_} + l) % {m})
+   * (((({seed}::BIGINT * {a_} + l) % {m}) * {a_} + id) % {m})) % {m} AS r
+  FROM ids CROSS JOIN lv),
+qq AS (SELECT id, l,
+  CASE WHEN r < {ta} THEN 0 WHEN r < {tb} THEN 1
+       WHEN r < {tc} THEN 2 ELSE 3 END AS quad FROM q)
+SELECT id AS edge_id,
+  SUM(CASE WHEN quad >= 2 THEN (1::BIGINT << l) ELSE 0 END)::BIGINT AS src,
+  SUM(CASE WHEN quad % 2 = 1 THEN (1::BIGINT << l) ELSE 0 END)::BIGINT
+    AS dst
+FROM qq GROUP BY id"""
+
+
 def q_lpa_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = label_propagation(spark, tree_edges(spark, sf_dir), fixed_iters=3)
     return res.labels
@@ -5645,6 +5685,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         ),
         "hitting_time_tree": _hitting_sql(5),
         "robustness_tree_ring": _robustness_sql(),
+        "rmat_edges_s8": _rmat_sql(8, 42),
         "host_features_docs": """WITH d0 AS (
   SELECT 'https://' || source || '.example.com/doc/'
          || CAST(doc_id AS VARCHAR) AS url,
@@ -6331,6 +6372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff_docs": q_crawl_diff_docs,
         "host_features_docs": q_host_features_docs,
         "robustness_tree_ring": q_robustness_tree_ring,
+        "rmat_edges_s8": q_rmat_edges_s8,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
