@@ -2267,6 +2267,23 @@ def q_triangle_total_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 
+def q_doulion_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O89 on the driver gate: DOULION sampled triangle estimate
+    (operators/triangles.py ``triangle_count_doulion``, p = 1/2, seed 42)
+    on the part co-occurrence graph. Oracle: the mix keep-predicate + the
+    same 3-join triangle count in DuckDB; the 1/p³ = 8.0 scale is exact in
+    binary floats, so the row is hash-exact with no rounding."""
+    from .operators.triangles import triangle_count_doulion
+
+    n_e, n_t, est = triangle_count_doulion(
+        copart_edges(spark, sf_dir), (1, 2), seed=42
+    )
+    return spark.createDataFrame(
+        [(n_e, n_t, est)],
+        "n_edges_sampled long, n_triangles_sampled long, estimate double",
+    )
+
+
 def q_region_graph_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     labels = part.select(
@@ -5686,6 +5703,16 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "hitting_time_tree": _hitting_sql(5),
         "robustness_tree_ring": _robustness_sql(),
         "rmat_edges_s8": _rmat_sql(8, 42),
+        "doulion_copart": f"""WITH und AS {_COPART_EDGES_SQL},
+samp AS MATERIALIZED (SELECT src, dst FROM und
+  WHERE ((42::BIGINT * 1103515245 + src) % 2147483647 * 1103515245 + dst)
+        % 2147483647 % 2 < 1),
+tri AS (SELECT COUNT(*)::BIGINT AS n FROM samp e1
+  JOIN samp e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN samp e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+SELECT (SELECT COUNT(*)::BIGINT FROM samp) AS n_edges_sampled,
+  tri.n AS n_triangles_sampled, tri.n::DOUBLE * 8.0 AS estimate
+FROM tri""",
         "host_features_docs": """WITH d0 AS (
   SELECT 'https://' || source || '.example.com/doc/'
          || CAST(doc_id AS VARCHAR) AS url,
@@ -6373,6 +6400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_features_docs": q_host_features_docs,
         "robustness_tree_ring": q_robustness_tree_ring,
         "rmat_edges_s8": q_rmat_edges_s8,
+        "doulion_copart": q_doulion_copart,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,

@@ -111,3 +111,50 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
 def triangle_count(edges: DataFrame) -> int:
     """Total number of distinct triangles."""
     return triangle_list(edges).count()
+
+
+# ---------------------------------------------------------------------------
+# DOULION: sampled approximate total (Tsourakakis et al., KDD 2009)
+# ---------------------------------------------------------------------------
+
+_M = 2147483647
+_A = 1103515245
+
+
+def triangle_count_doulion(
+    edges: DataFrame, p: tuple[int, int] = (1, 2), *, seed: int = 42
+) -> tuple[int, int, float]:
+    """Approximate total triangle count by DOULION edge sparsification
+    (Tsourakakis, Kang, Miller, Faloutsos: "DOULION: counting triangles in
+    massive graphs with a coin", KDD 2009): keep each canonical undirected
+    edge independently with probability p, count triangles exactly on the
+    sample with the degree-oriented kernel above, scale by 1/p³ — an
+    unbiased estimator whose accuracy concentrates as triangles grow
+    (their Thm 1), at p³ of the wedge work.
+
+    Determinism contract (``doulion_copart`` replays it in DuckDB —
+    hash-exact): ``p`` is a rational (num, den); canonical edge (src <
+    dst, operators/edges.py hygiene) survives iff
+
+        mix(mix(seed, src), dst) % den < num,
+        mix(a, b) = (a·1103515245 + b) % (2^31 − 1)
+
+    — the walks.py integer-mix family (ideal-mix uniform per edge, exactly
+    replayable; vertex ids must sit in [0, 2^31), asserted upstream by no
+    kernel here — callers with wider ids rescale first). p = (1, 1) keeps
+    every edge and reproduces ``triangle_count`` exactly.
+
+    Returns (n_edges_sampled, n_triangles_sampled, estimate)."""
+    num, den = p
+    assert 1 <= num <= den <= 10_000 and 0 <= seed < _M
+    und = canonical_undirected(edges)
+    lit = lambda x: F.lit(x).cast("long")  # noqa: E731
+    keep = (
+        (lit(seed) * lit(_A) + F.col("src")) % lit(_M) * lit(_A)
+        + F.col("dst")
+    ) % lit(_M) % lit(den) < lit(num)
+    sampled = und.where(keep)
+    n_edges = sampled.count()
+    n_tri = triangle_count(sampled)
+    scale = (den / num) ** 3
+    return n_edges, n_tri, float(n_tri) * scale

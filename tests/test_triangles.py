@@ -49,3 +49,70 @@ def test_directed_duplicate_input_ok(spark):
     assert triangle_count(e) == 1
     got = {(r.src, r.dst): r.n_tri for r in triangles_per_edge(e).collect()}
     assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+
+
+# --- DOULION sampled estimator -------------------------------------------
+
+
+def test_doulion_full_probability_is_exact(spark):
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_doulion,
+    )
+
+    g = nx.gnp_random_graph(60, 0.15, seed=31)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    n_e, n_t, est = triangle_count_doulion(e, (1, 1))
+    assert n_e == g.number_of_edges()
+    assert n_t == triangle_count(e) == est
+
+
+def test_doulion_sample_matches_predicate_replay(spark):
+    """The sampled count equals networkx triangles over the edges the mix
+    predicate keeps — the exact-replay contract the gate row relies on."""
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.triangles import (
+        triangle_count_doulion,
+    )
+
+    M, A, seed = 2147483647, 1103515245, 42
+    g = nx.gnp_random_graph(80, 0.2, seed=33)
+    pairs = [(min(a, b), max(a, b)) for a, b in g.edges()]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    num, den = 2, 3
+    kept = [
+        (a, b)
+        for a, b in pairs
+        if (((seed * A + a) % M) * A + b) % M % den < num
+    ]
+    h = nx.Graph(kept)
+    exp_tri = sum(nx.triangles(h).values()) // 3
+    n_e, n_t, est = triangle_count_doulion(e, (num, den))
+    assert n_e == len(kept)
+    assert n_t == exp_tri
+    assert est == exp_tri * (den / num) ** 3
+
+
+def test_doulion_estimator_in_range(spark):
+    """On a triangle-rich graph the p=1/2 estimate lands within a loose
+    factor of the exact count (concentration sanity, not a proof)."""
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.triangles import (
+        triangle_count,
+        triangle_count_doulion,
+    )
+
+    g = nx.gnp_random_graph(70, 0.3, seed=35)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    exact = triangle_count(e)
+    _, _, est = triangle_count_doulion(e, (1, 2))
+    assert exact > 100
+    assert 0.5 * exact < est < 2.0 * exact
