@@ -926,6 +926,64 @@ def q_robustness_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.curve
 
 
+def q_random_failure_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O87b on the driver gate: random-failure robustness curve
+    (operators/robustness.py ``random_failure_robustness``, fractions 0
+    and 3/10, seed 42) over the tree+ring graph — the AJB control arm of
+    `robustness_tree_ring`. Oracle: mix keep-predicate + recursive-CTE
+    min-label closure per fraction — hash-exact."""
+    from .operators.robustness import random_failure_robustness
+
+    res = random_failure_robustness(
+        spark, tree_ring_edges(spark, sf_dir), [(0, 1), (3, 10)], seed=42
+    )
+    return res.curve
+
+
+def _random_failure_sql(num: int = 3, den: int = 10, seed: int = 42) -> str:
+    m, a = 2147483647, 1103515245
+    return f"""WITH RECURSIVE te AS MATERIALIZED {_TREE_RING_EDGES_SQL},
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te)
+  WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS vertex, COUNT(*)::BIGINT AS deg
+  FROM sym GROUP BY src),
+nv AS (SELECT COUNT(*)::BIGINT AS v FROM deg),
+lab0 AS (
+  SELECT vertex AS vtx, vertex AS lbl FROM deg
+  UNION
+  SELECT s.dst, l.lbl FROM lab0 l JOIN sym s ON s.src = l.vtx
+),
+c0 AS (SELECT vtx, MIN(lbl) AS comp FROM lab0 GROUP BY vtx),
+s0 AS (SELECT COUNT(DISTINCT comp)::BIGINT AS n_comp,
+  MAX(cnt)::BIGINT AS gcc FROM
+  (SELECT comp, COUNT(*) AS cnt FROM c0 GROUP BY comp)),
+keepv AS MATERIALIZED (SELECT vertex FROM deg
+  WHERE ({seed}::BIGINT * {a} + vertex) % {m} % {den} >= {num}),
+ksym AS MATERIALIZED (SELECT s.src, s.dst FROM sym s
+  JOIN keepv x ON x.vertex = s.src JOIN keepv y ON y.vertex = s.dst),
+lab1 AS (
+  SELECT vertex AS vtx, vertex AS lbl FROM keepv
+  UNION
+  SELECT s.dst, l.lbl FROM lab1 l JOIN ksym s ON s.src = l.vtx
+),
+c1 AS (SELECT vtx, MIN(lbl) AS comp FROM lab1 GROUP BY vtx),
+s1 AS (SELECT COUNT(DISTINCT comp)::BIGINT AS n_comp,
+  COALESCE(MAX(cnt), 0)::BIGINT AS gcc FROM
+  (SELECT comp, COUNT(*) AS cnt FROM c1 GROUP BY comp))
+SELECT 0.0::DOUBLE AS fraction, NULL::BIGINT AS cutoff_degree,
+  0::BIGINT AS n_removed, (SELECT v FROM nv) AS n_vertices_left,
+  (SELECT COUNT(*) // 2 FROM sym)::BIGINT AS n_edges_left,
+  s0.n_comp AS n_components, s0.gcc AS gcc_size FROM s0
+UNION ALL
+SELECT ({num}::DOUBLE / {den})::DOUBLE,
+  NULL::BIGINT,
+  (SELECT v FROM nv) - (SELECT COUNT(*)::BIGINT FROM keepv),
+  (SELECT COUNT(*)::BIGINT FROM keepv),
+  (SELECT COUNT(*) // 2 FROM ksym)::BIGINT,
+  s1.n_comp, s1.gcc FROM s1"""
+
+
 def _robustness_sql() -> str:
     return f"""WITH RECURSIVE te AS MATERIALIZED {_TREE_RING_EDGES_SQL},
 sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
@@ -5703,6 +5761,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "hitting_time_tree": _hitting_sql(5),
         "robustness_tree_ring": _robustness_sql(),
         "rmat_edges_s8": _rmat_sql(8, 42),
+        "random_failure_tree_ring": _random_failure_sql(3, 10, 42),
         "doulion_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 samp AS MATERIALIZED (SELECT src, dst FROM und
   WHERE ((42::BIGINT * 1103515245 + src) % 2147483647 * 1103515245 + dst)
@@ -6401,6 +6460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness_tree_ring": q_robustness_tree_ring,
         "rmat_edges_s8": q_rmat_edges_s8,
         "doulion_copart": q_doulion_copart,
+        "random_failure_tree_ring": q_random_failure_tree_ring,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,

@@ -160,3 +160,115 @@ def attack_robustness(
         " gcc_size long",
     )
     return RobustnessResult(curve, metrics)
+
+
+_M = 2147483647
+_A = 1103515245
+
+
+def random_failure_robustness(
+    spark: SparkSession,
+    edges: DataFrame,
+    fractions: list[tuple[int, int]] = [(0, 1), (1, 10), (3, 10)],
+    *,
+    seed: int = 42,
+    cc_method: str = "blockuf",
+) -> RobustnessResult:
+    """The RANDOM-failure half of the Albert–Jeong–Barabási experiment —
+    the control arm ``attack_robustness`` is contrasted against: remove
+    each vertex independently with probability f (a rational (num, den)
+    so the predicate stays integer-exact), rerun CC, report the same
+    curve columns. On scale-free graphs this curve stays flat where the
+    targeted curve collapses — the "robust yet fragile" signature.
+
+    Determinism contract: vertex v is removed iff
+    mix(seed, v) % den < num (the walks.py mix family; requires vertex
+    ids ≥ 0, asserted). The ``fraction`` column reports num/den as a
+    double; ``cutoff_degree`` is NULL (no degree cutoff exists here);
+    ``n_removed`` is the realized count, which concentrates on f·V.
+
+    Scale shape: identical to ``attack_robustness`` minus the histogram —
+    the removal predicate is a map-side filter on the shared persisted
+    layout; per fraction one filter + the CC kernel."""
+    from .cc import connected_components
+
+    assert fractions and all(
+        0 <= num <= den and 1 <= den <= 10_000 for num, den in fractions
+    )
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    sym = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(p, "src")
+        .persist()
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    n_verts = deg.count()
+    if n_verts == 0:
+        empty = spark.createDataFrame(
+            [],
+            "fraction double, cutoff_degree long, n_removed long,"
+            " n_vertices_left long, n_edges_left long, n_components long,"
+            " gcc_size long",
+        )
+        return RobustnessResult(empty, [])
+    lo = deg.agg(F.min("vertex").alias("lo")).collect()[0]["lo"]
+    if lo < 0:
+        raise ValueError(
+            "random_failure_robustness requires vertex ids >= 0 (mix"
+            f" predicate; got min id {lo})"
+        )
+    lit = lambda x: F.lit(x).cast("long")  # noqa: E731
+    rows = []
+    metrics: list[dict] = []
+    for num, den in fractions:
+        t0 = time.time()
+        keep_pred = (lit(seed) * lit(_A) + F.col("vertex")) % lit(_M) % lit(
+            den
+        ) >= lit(num)
+        keep = deg.where(keep_pred).select("vertex")
+        n_left = keep.count()
+        n_removed = n_verts - n_left
+        surv_edges = sym.join(
+            keep.withColumnRenamed("vertex", "src"), "src"
+        ).join(keep.withColumnRenamed("vertex", "dst"), "dst")
+        n_edges_left = surv_edges.count() // 2
+        if n_edges_left > 0:
+            comp = connected_components(
+                spark,
+                surv_edges.where(F.col("src") < F.col("dst")),
+                method=cc_method,
+            ).components
+            sizes = comp.groupBy("component").count()
+            agg = sizes.agg(
+                F.count("*").alias("nc"), F.max("count").alias("gcc")
+            ).collect()[0]
+            n_in_comps = comp.count()
+            n_comp = int(agg["nc"]) + (n_left - n_in_comps)
+            gcc = int(agg["gcc"]) if n_left else 0
+        else:
+            n_comp = n_left
+            gcc = 1 if n_left else 0
+        rows.append(
+            (num / den, None, n_removed, n_left, n_edges_left, n_comp, gcc)
+        )
+        metrics.append(
+            {"fraction": num / den, "wall_s": round(time.time() - t0, 4)}
+        )
+    sym.unpersist()
+    deg.unpersist()
+    curve = spark.createDataFrame(
+        rows,
+        "fraction double, cutoff_degree long, n_removed long,"
+        " n_vertices_left long, n_edges_left long, n_components long,"
+        " gcc_size long",
+    )
+    return RobustnessResult(curve, metrics)

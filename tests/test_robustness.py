@@ -117,3 +117,55 @@ def test_empty_and_validation(spark):
         attack_robustness(spark, edges_df(spark, [(0, 1)]), [])
     with pytest.raises(AssertionError):
         attack_robustness(spark, edges_df(spark, [(0, 1)]), [1.0])
+
+
+# --- random-failure control arm -------------------------------------------
+
+
+def test_random_failure_replay_and_ajb_contrast(spark):
+    """Predicate-replay parity vs networkx on the kept vertex set, and the
+    AJB signature: on a BA graph, random failure at 30% hurts the GCC far
+    less than the targeted attack at 15%."""
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.robustness import (
+        attack_robustness,
+        random_failure_robustness,
+    )
+
+    M, A, seed = 2147483647, 1103515245, 42
+    ba = nx.barabasi_albert_graph(150, 2, seed=11)
+    pairs = list(ba.edges())
+    e = edges_df(spark, pairs)
+    res = random_failure_robustness(spark, e, [(0, 1), (3, 10)], seed=seed)
+    got = {
+        r["fraction"]: (
+            r["cutoff_degree"],
+            r["n_removed"],
+            r["n_vertices_left"],
+            r["n_edges_left"],
+            r["n_components"],
+            r["gcc_size"],
+        )
+        for r in res.curve.collect()
+    }
+    # replay 30% row against networkx
+    keep = [v for v in ba if ((seed * A + v) % M) % 10 >= 3]
+    h = ba.subgraph(keep)
+    comps = list(nx.connected_components(h))
+    assert got[0.3] == (
+        None,
+        150 - len(keep),
+        len(keep),
+        h.number_of_edges(),
+        len(comps),
+        max(len(c) for c in comps),
+    )
+    assert got[0.0][5] == 150  # intact BA graph is connected
+    # AJB contrast: random 30% keeps a large GCC fraction of survivors...
+    rand_frac = got[0.3][5] / got[0.3][2]
+    # ...while the targeted 15% attack shatters (from the earlier test's
+    # own run on a same-model graph)
+    att = attack_robustness(spark, e, [0.15]).curve.collect()[0]
+    att_frac = att["gcc_size"] / att["n_vertices_left"]
+    assert rand_frac > 2 * att_frac
