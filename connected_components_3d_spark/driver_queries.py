@@ -926,6 +926,76 @@ def q_robustness_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.curve
 
 
+def q_logreg_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O90 on the driver gate: distributed logistic-regression training
+    (operators/logreg.py, 10 full-batch GD iterations, lr 0.5) on a
+    planted documents task — x0 = n_chars/1000 (signal), x1 =
+    (doc_id%100)/100 (noise), y = [n_chars > 700]. Oracle: chained-CTE
+    replay of the weight trajectory (1-row weight CTE per iteration,
+    CROSS JOIN into the next aggregate); ROUND 6 absorbs cross-engine
+    sum-reassociation and libm-vs-JVM exp ulp drift."""
+    from .operators.logreg import logistic_regression
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("n_chars") / 1000.0).alias("x0"),
+        ((F.col("doc_id") % 100) / 100.0).alias("x1"),
+        F.expr("CASE WHEN n_chars > 700 THEN 1.0 ELSE 0.0 END").alias("y"),
+    )
+    res = logistic_regression(d, ["x0", "x1"], "y", lr=0.5, iters=10)
+    return spark.createDataFrame(
+        [
+            (
+                round(res.weights[0], 6),
+                round(res.weights[1], 6),
+                round(res.bias, 6),
+                round(res.loss, 6),
+            )
+        ],
+        "w0 double, w1 double, bias double, loss double",
+    )
+
+
+def _logreg_sql(iters: int = 10, lr: float = 0.5) -> str:
+    parts = [
+        """WITH f AS MATERIALIZED (
+  SELECT n_chars / 1000.0 AS x0, (doc_id % 100) / 100.0 AS x1,
+         CASE WHEN n_chars > 700 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)""",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM f)",
+        "w0_ AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,"
+        " 0.0::DOUBLE AS b)",
+    ]
+    for t in range(1, iters + 1):
+        pr = t - 1
+        parts.append(
+            f"a{t} AS (SELECT"
+            " SUM((1.0/(1.0+EXP(-(w.b + w.w0*f.x0 + w.w1*f.x1))) - f.y)"
+            " * f.x0) AS g0,"
+            " SUM((1.0/(1.0+EXP(-(w.b + w.w0*f.x0 + w.w1*f.x1))) - f.y)"
+            " * f.x1) AS g1,"
+            " SUM(1.0/(1.0+EXP(-(w.b + w.w0*f.x0 + w.w1*f.x1))) - f.y)"
+            " AS gb,"
+            " SUM(-(f.y * LN(1.0/(1.0+EXP(-(w.b + w.w0*f.x0 + w.w1*f.x1)))"
+            " + 1e-12) + (1.0 - f.y) * LN(1.0 -"
+            " 1.0/(1.0+EXP(-(w.b + w.w0*f.x0 + w.w1*f.x1))) + 1e-12)))"
+            " AS ll"
+            f" FROM f CROSS JOIN w{pr}_ w)"
+        )
+        parts.append(
+            f"w{t}_ AS (SELECT w.w0 - {lr}*(a.g0/nn.n) AS w0,"
+            f" w.w1 - {lr}*(a.g1/nn.n) AS w1,"
+            f" w.b - {lr}*(a.gb/nn.n) AS b"
+            f" FROM a{t} a CROSS JOIN w{pr}_ w CROSS JOIN nn)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT ROUND(w.w0, 6) AS w0, ROUND(w.w1, 6) AS w1,"
+        f" ROUND(w.b, 6) AS bias, ROUND(a.ll / nn.n, 6) AS loss"
+        f" FROM w{iters}_ w CROSS JOIN a{iters} a CROSS JOIN nn"
+    )
+
+
 def q_random_failure_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O87b on the driver gate: random-failure robustness curve
     (operators/robustness.py ``random_failure_robustness``, fractions 0
@@ -5762,6 +5832,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "robustness_tree_ring": _robustness_sql(),
         "rmat_edges_s8": _rmat_sql(8, 42),
         "random_failure_tree_ring": _random_failure_sql(3, 10, 42),
+        "logreg_docs": _logreg_sql(10, 0.5),
         "doulion_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 samp AS MATERIALIZED (SELECT src, dst FROM und
   WHERE ((42::BIGINT * 1103515245 + src) % 2147483647 * 1103515245 + dst)
@@ -6461,6 +6532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_edges_s8": q_rmat_edges_s8,
         "doulion_copart": q_doulion_copart,
         "random_failure_tree_ring": q_random_failure_tree_ring,
+        "logreg_docs": q_logreg_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
