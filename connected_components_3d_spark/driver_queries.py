@@ -3464,6 +3464,17 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_nearest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O91 on the driver gate: reciprocal-best-match pairs
+    (operators/similarity.py ``mutual_nearest_pairs``) over the embeddings
+    table. Oracle: pairs CTE + ROW_NUMBER top-1 per side + both-direction
+    semi join — hash-exact on the rounded cosine."""
+    from .operators.similarity import mutual_nearest_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_nearest_pairs(emb)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # the synthetic embeddings are near-orthogonal (max off-diagonal cosine
@@ -5833,6 +5844,14 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "rmat_edges_s8": _rmat_sql(8, 42),
         "random_failure_tree_ring": _random_failure_sql(3, 10, 42),
         "logreg_docs": _logreg_sql(10, 0.5),
+        "mutual_nearest_embeddings": f"""WITH {_cosine_pairs_cte(64)},
+t1 AS (SELECT id_a, id_b, cos FROM (SELECT id_a, id_b, cos,
+  ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+  FROM pairs) WHERE rn = 1)
+SELECT a.id_a, a.id_b, a.cos FROM t1 a
+WHERE EXISTS (SELECT 1 FROM t1 b
+  WHERE b.id_a = a.id_b AND b.id_b = a.id_a)
+  AND a.id_a < a.id_b""",
         "doulion_copart": f"""WITH und AS {_COPART_EDGES_SQL},
 samp AS MATERIALIZED (SELECT src, dst FROM und
   WHERE ((42::BIGINT * 1103515245 + src) % 2147483647 * 1103515245 + dst)
@@ -6533,6 +6552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doulion_copart": q_doulion_copart,
         "random_failure_tree_ring": q_random_failure_tree_ring,
         "logreg_docs": q_logreg_docs,
+        "mutual_nearest_embeddings": q_mutual_nearest_embeddings,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,

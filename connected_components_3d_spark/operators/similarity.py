@@ -345,3 +345,31 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def mutual_nearest_pairs(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Reciprocal-best-match pairs — each side is the other's TOP-1 cosine
+    neighbor (ties by smaller id, the cosine_topk_brute order). The
+    standard high-precision pairing rule for corpus alignment / bitext
+    mining (Artetxe & Schwenk's margin-free ancestor) and the strictest
+    near-duplicate pairing: mutuality filters the hubness false positives
+    a one-sided top-1 admits.
+
+    Output: (id_a, id_b, cos) with id_a < id_b, one row per mutual pair.
+    Composition: top-1 per id from the exact brute path (O(n²) baseline —
+    at scale swap ``cosine_topk_brute`` for the LSH/IVF top-k and keep the
+    same mutual join), then a self-join keeping pairs appearing in both
+    directions."""
+    top1 = cosine_topk_brute(emb, k=1, vec_col=vec_col, id_col=id_col).select(
+        "id_a", "id_b", "cos"
+    )
+    rev = top1.select(
+        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    )
+    return (
+        top1.join(rev, ["id_a", "id_b"], "left_semi")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cos")
+    )

@@ -297,3 +297,24 @@ def test_ivf_kmeans_partial_probe_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.45, recall
+
+
+def test_mutual_nearest_pairs(spark):
+    """Hand-built geometry: (1,2) and (3,4) are reciprocal best matches;
+    5's best is 1 but 1's best is 2, so 5 pairs with nobody."""
+    from connected_components_3d_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0, 0.05]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.05]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.9, 0.1, 0.5]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in mutual_nearest_pairs(emb).collect()
+    )
+    assert got == [(1, 2), (3, 4)]
