@@ -996,6 +996,48 @@ def _logreg_sql(iters: int = 10, lr: float = 0.5) -> str:
     )
 
 
+def q_path_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O92 on the driver gate: canonical shortest-path extraction
+    (operators/paths.py) from customer vertex 1000 to region vertex 4
+    over the symmetrized tree+ring graph (customer → nation → ring hops →
+    region). Oracle: recursive-CTE BFS + min-pred table + pred-following
+    walk — hash-exact."""
+    from .operators.paths import extract_path
+
+    e = tree_ring_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return extract_path(spark, sym, 1000, 4).path
+
+
+def _path_sql(source: int = 1000, target: int = 4) -> str:
+    return f"""WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT src, dst FROM {_TREE_RING_EDGES_SQL} tr WHERE src <> dst
+),
+es AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0
+),
+w1(vertex, dist) AS (
+  SELECT {source}::BIGINT, 0
+  UNION
+  SELECT e.b, w.dist + 1 FROM w1 w JOIN es e ON e.a = w.vertex
+  WHERE w.dist < 40
+),
+d AS MATERIALIZED (SELECT vertex, MIN(dist) AS dist FROM w1 GROUP BY 1),
+pr AS MATERIALIZED (SELECT e.b AS vertex, MIN(e.a) AS pred FROM es e
+  JOIN d du ON du.vertex = e.a JOIN d dv ON dv.vertex = e.b
+  WHERE du.dist + 1 = dv.dist GROUP BY e.b),
+walk(pos_b, vertex) AS (
+  SELECT 0, {target}::BIGINT
+  UNION ALL
+  SELECT w.pos_b + 1, p.pred FROM walk w JOIN pr p ON p.vertex = w.vertex
+  WHERE w.vertex <> {source}
+)
+SELECT ((SELECT dist FROM d WHERE vertex = {target}) - pos_b)::INT AS pos,
+  vertex FROM walk"""
+
+
 def q_random_failure_tree_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O87b on the driver gate: random-failure robustness curve
     (operators/robustness.py ``random_failure_robustness``, fractions 0
@@ -5844,6 +5886,7 @@ FROM cells JOIN sz ON cells.cohort = sz.cohort""",
         "rmat_edges_s8": _rmat_sql(8, 42),
         "random_failure_tree_ring": _random_failure_sql(3, 10, 42),
         "logreg_docs": _logreg_sql(10, 0.5),
+        "path_tree_ring": _path_sql(1000, 4),
         "mutual_nearest_embeddings": f"""WITH {_cosine_pairs_cte(64)},
 t1 AS (SELECT id_a, id_b, cos FROM (SELECT id_a, id_b, cos,
   ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
@@ -6553,6 +6596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_failure_tree_ring": q_random_failure_tree_ring,
         "logreg_docs": q_logreg_docs,
         "mutual_nearest_embeddings": q_mutual_nearest_embeddings,
+        "path_tree_ring": q_path_tree_ring,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
