@@ -2953,6 +2953,27 @@ def q_dup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(docs, n=5)
 
 
+def q_ngram_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O50c on the driver gate: exact-substring span REMOVAL
+    (operators/ngramdedup.py ``remove_duplicated_ngrams``, n=5) over the
+    documents with an injected half-corpus footer — the footer's tokens
+    vanish from every doc carrying them, per-doc text reassembled in
+    order. Oracle: UNNEST WITH ORDINALITY anti-join + ordered string_agg,
+    all-integer + strings — hash-exact."""
+    from .operators.ngramdedup import remove_duplicated_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            "text || CASE WHEN doc_id % 2 = 0 THEN"
+            " ' subscribe to our newsletter today please thanks'"
+            " ELSE '' END"
+        ).alias("text"),
+    )
+    return remove_duplicated_ngrams(d, n=5, min_docs=2)
+
+
 def q_dup_ngrams_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O50b: the 20 most widespread duplicated 5-grams by
     (docs DESC, occurrences DESC, gram ASC) — deterministic total order so
@@ -6409,6 +6430,30 @@ SELECT t.doc_id, t.total_tokens,
   END AS dup_frac
 FROM tot t LEFT JOIN dg d ON d.doc_id = t.doc_id
 LEFT JOIN cov c ON c.doc_id = t.doc_id""",
+        "ngram_removal_docs": f"""WITH t0 AS (SELECT doc_id::BIGINT AS doc_id,
+  text || CASE WHEN doc_id % 2 = 0 THEN
+    ' subscribe to our newsletter today please thanks' ELSE '' END AS txt
+  FROM documents),
+toks AS (SELECT doc_id, {_TOK.format(c='txt')} AS t FROM t0),
+grams AS (SELECT doc_id, i AS pos,
+  array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5),
+dup AS (SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT g.doc_id, u.cp FROM grams g JOIN dup USING (gram),
+  UNNEST(range(g.pos, g.pos + 5)) AS u(cp)),
+tp AS (SELECT doc_id, t[u.i] AS tok, u.i AS ord FROM toks,
+  UNNEST(range(1, len(t) + 1)) AS u(i)),
+kept AS (SELECT tp.doc_id, tp.tok, tp.ord FROM tp
+  ANTI JOIN cov c ON c.doc_id = tp.doc_id AND c.cp = tp.ord),
+reb AS (SELECT doc_id,
+  string_agg(tok, ' ' ORDER BY ord) AS text_clean,
+  COUNT(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(t)::BIGINT AS total_tokens FROM toks)
+SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+  t.total_tokens,
+  (t.total_tokens - COALESCE(r.n_kept, 0))::BIGINT AS covered_tokens
+FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id""",
         "dup_ngrams_topk_docs": f"""WITH toks AS (SELECT
   doc_id::BIGINT AS doc_id, {_TOK.format(c='text')} AS t FROM documents),
 grams AS (SELECT doc_id,
@@ -6597,6 +6642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_docs": q_logreg_docs,
         "mutual_nearest_embeddings": q_mutual_nearest_embeddings,
         "path_tree_ring": q_path_tree_ring,
+        "ngram_removal_docs": q_ngram_removal_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,

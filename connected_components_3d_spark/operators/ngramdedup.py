@@ -201,3 +201,97 @@ def dup_ngram_stats_single_node(
         frac = 0.0 if total == 0 else round(len(covered) / total, 6)
         out[d] = (total, dg, len(covered), frac)
     return out
+
+
+def remove_duplicated_ngrams(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. exact-substring dedup: drop every
+    token position covered by a cross-document duplicated n-gram (the
+    ``dup_ngram_stats`` coverage union) and reassemble the survivors in
+    order, single-space joined — the same reassembly contract as
+    operators/paradedup.py. Docs shorter than ``n`` tokens pass through
+    re-tokenized (whitespace normalized), fully-boilerplate docs come out
+    empty.
+
+    Output: (doc_id, text_clean, total_tokens, covered_tokens).
+
+    Scale shape: ``dup_ngram_stats``'s explode/groupBy/join pipeline plus
+    one anti-join of token positions against covered positions and one
+    per-doc ordered reassembly (collect_list + array_sort inside the doc —
+    the paradedup pattern; per-doc state only)."""
+    if n < 1:
+        raise ValueError(f"remove_duplicated_ngrams: n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(
+            f"remove_duplicated_ngrams: min_docs must be >= 2, got {min_docs}"
+        )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(text_col).alias("t"),
+    ).persist()
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
+    grams = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {n}),"
+                    f" i -> struct(i AS pos,"
+                    f" array_join(slice(t, i + 1, {n}), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    tot = toks.select(
+        "doc_id", F.size("t").cast("long").alias("total_tokens")
+    )
+    out = (
+        tot.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "total_tokens",
+            (
+                F.col("total_tokens")
+                - F.coalesce("n_kept", F.lit(0)).cast("long")
+            ).alias("covered_tokens"),
+        )
+    )
+    return out

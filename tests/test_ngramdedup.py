@@ -113,3 +113,55 @@ def test_validation(spark):
         dup_ngram_stats(_docs(spark), min_docs=1)
     with pytest.raises(ValueError):
         dup_ngrams_topk(_docs(spark), k=0)
+
+
+# --- span REMOVAL transform ------------------------------------------------
+
+
+def test_remove_duplicated_ngrams_planted(spark):
+    from connected_components_3d_spark.operators.ngramdedup import (
+        remove_duplicated_ngrams,
+    )
+
+    boiler = "subscribe to our newsletter today please"
+    rows = [
+        (1, "alpha beta gamma delta " + boiler),
+        (2, "epsilon zeta " + boiler),
+        (3, "eta theta iota kappa"),
+        (4, boiler),  # fully boilerplate
+        (5, "tiny doc"),  # shorter than n: untouched
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["total_tokens"], r["covered_tokens"])
+        for r in remove_duplicated_ngrams(d, n=4, min_docs=2).collect()
+    }
+    # the 6 boilerplate tokens vanish wherever they appear
+    assert got[1] == ("alpha beta gamma delta", 10, 6)
+    assert got[2] == ("epsilon zeta", 8, 6)
+    assert got[3] == ("eta theta iota kappa", 4, 0)
+    assert got[4] == ("", 6, 6)
+    assert got[5] == ("tiny doc", 2, 0)
+
+
+def test_remove_consistent_with_stats(spark):
+    """covered_tokens of the transform equals dup_ngram_stats' coverage."""
+    from connected_components_3d_spark.operators.ngramdedup import (
+        dup_ngram_stats,
+        remove_duplicated_ngrams,
+    )
+
+    rows = [
+        (i, f"doc {i} start shared middle piece here end {i % 3}")
+        for i in range(12)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    st = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in dup_ngram_stats(d, n=3).collect()
+    }
+    tr = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in remove_duplicated_ngrams(d, n=3).collect()
+    }
+    assert st == tr
