@@ -2974,6 +2974,22 @@ def q_ngram_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_ngrams(d, n=5, min_docs=2)
 
 
+def q_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O93 on the driver gate: exact grouped quantiles
+    (operators/quantiles.py) of o_totalprice per o_orderpriority. Oracle:
+    DuckDB quantile_cont — the identical p·(n−1) linear-interpolation
+    definition Spark's percentile implements; ROUND 8 absorbs the
+    interpolation arithmetic's last-ulp differences."""
+    from .operators.quantiles import grouped_quantiles
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    q = grouped_quantiles(orders, ["prio"], "price", [0.25, 0.5, 0.9, 0.99])
+    return q.select("prio", "p", F.round("q", 8).alias("q"))
+
+
 def q_dup_ngrams_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O50b: the 20 most widespread duplicated 5-grams by
     (docs DESC, occurrences DESC, gram ASC) — deterministic total order so
@@ -6430,6 +6446,13 @@ SELECT t.doc_id, t.total_tokens,
   END AS dup_frac
 FROM tot t LEFT JOIN dg d ON d.doc_id = t.doc_id
 LEFT JOIN cov c ON c.doc_id = t.doc_id""",
+        "quantiles_orders": """WITH g AS (
+  SELECT o_orderpriority AS prio,
+    quantile_cont(o_totalprice::DOUBLE, [0.25, 0.5, 0.9, 0.99]) AS qs
+  FROM orders GROUP BY 1)
+SELECT prio, ([0.25, 0.5, 0.9, 0.99][u.i])::DOUBLE AS p,
+  ROUND(qs[u.i], 8) AS q
+FROM g, UNNEST(range(1, 5)) AS u(i)""",
         "ngram_removal_docs": f"""WITH t0 AS (SELECT doc_id::BIGINT AS doc_id,
   text || CASE WHEN doc_id % 2 = 0 THEN
     ' subscribe to our newsletter today please thanks' ELSE '' END AS txt
@@ -6643,6 +6666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nearest_embeddings": q_mutual_nearest_embeddings,
         "path_tree_ring": q_path_tree_ring,
         "ngram_removal_docs": q_ngram_removal_docs,
+        "quantiles_orders": q_quantiles_orders,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
