@@ -1918,6 +1918,58 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN kept ON kept.doc_id = d.doc_id"""
 
 
+_PARA_HOST_FIXTURE_EXPR = (
+    "'own ' || {id} || ' ' || substr(text, 1, 40) || chr(10)"
+    " || 'host footer ' || source"
+    " || CASE WHEN doc_id < 20 THEN chr(10) || 'once per host line'"
+    " ELSE '' END"
+)
+
+
+def q_paragraph_dedup_host_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O80b on the driver gate: HOST-scoped paragraph dedup
+    (operators/paradedup.py, scope_col=source): each source's footer
+    repeats within the source and dies, while 'once per host line'
+    (planted exactly once per source on docs 0..19) SURVIVES scoping —
+    the row corpus-wide dedup would kill. Oracle: the (scope, paragraph)
+    grouped restatement — hash-exact."""
+    from .operators.paradedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr(
+        _PARA_HOST_FIXTURE_EXPR.format(id="CAST(doc_id AS STRING)")
+    )
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        t.alias("text"),
+    )
+    return paragraph_dedup(d, scope_col="source").docs
+
+
+def _paragraph_dedup_host_sql() -> str:
+    expr = _PARA_HOST_FIXTURE_EXPR.format(id="CAST(doc_id AS VARCHAR)")
+    return f"""WITH t0 AS (SELECT doc_id::BIGINT AS doc_id, source,
+  {expr} AS t FROM documents),
+p0 AS (SELECT doc_id, source, string_split(t, chr(10)) AS lst FROM t0),
+p AS (SELECT doc_id, source, para, pos FROM (
+  SELECT doc_id, source, UNNEST(lst) AS para,
+         UNNEST(range(1, len(lst) + 1)) AS pos FROM p0)
+  WHERE length(para) > 0),
+c AS (SELECT source, para, COUNT(*) AS n FROM p GROUP BY source, para),
+k AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN c
+  ON c.source = p.source AND c.para = p.para WHERE c.n <= 1),
+tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_paras FROM p GROUP BY doc_id),
+kept AS (SELECT doc_id,
+  string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+  COUNT(*)::BIGINT AS n_kept FROM k GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(kept.text_clean, '') AS text_clean,
+  COALESCE(tot.n_paras, 0) AS n_paras, COALESCE(kept.n_kept, 0) AS n_kept
+FROM (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM documents) d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN kept ON kept.doc_id = d.doc_id"""
+
+
 def q_core_numbers_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O9c on the driver gate: full core decomposition of the tree+ring
     graph. Oracle: per-k chained-CTE peel replays; core = 1 + Σ_k
@@ -6162,6 +6214,7 @@ GROUP BY 1, 2""",
         "graph_summary_tree_ring": _GRAPH_SUMMARY_SQL,
         "domain_graph_docs": _domain_graph_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
+        "paragraph_dedup_host_docs": _paragraph_dedup_host_sql(),
         "neighborhood_function_r3": _neighborhood_function_sql(
             f"(SELECT src, dst FROM {_TREE_EDGES_SQL} t"
             f" UNION ALL SELECT dst, src FROM {_TREE_EDGES_SQL} t2)",
@@ -6710,6 +6763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary_tree_ring": q_graph_summary_tree_ring,
         "domain_graph_docs": q_domain_graph_docs,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
+        "paragraph_dedup_host_docs": q_paragraph_dedup_host_docs,
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,

@@ -46,38 +46,52 @@ def paragraph_dedup(
     sep: str = "\n",
     mode: str = "drop_repeats",
     max_count: int = 1,
+    scope_col: str | None = None,
 ) -> ParagraphDedupResult:
     """Dedup paragraphs of ``text_col`` (split on ``sep``) across the
-    whole corpus. Empty paragraphs never count and never survive.
-    Documents whose paragraphs are all dropped keep a row with
-    text_clean = ''."""
+    whole corpus — or within each ``scope_col`` class when given (the
+    per-HOST boilerplate convention: a site's own footer repeats across
+    its pages and dies, while a legal notice each site carries once
+    survives host-scoping but would die corpus-wide). Empty paragraphs
+    never count and never survive. Documents whose paragraphs are all
+    dropped keep a row with text_clean = ''. ``n_distinct`` counts
+    distinct (scope, paragraph) pairs when scoped."""
     if mode not in ("drop_repeats", "keep_first"):
         raise ValueError(f"paragraph_dedup: unknown mode {mode!r}")
     if max_count < 1:
         raise ValueError("max_count must be >= 1")
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    scope = (
+        F.col(scope_col).cast("string") if scope_col else F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t"),
+        scope.alias("_s"),
+    )
     paras = base.select(
         "_id",
+        "_s",
         F.posexplode(F.split("_t", sep)).alias("pos", "para"),
     ).where(F.length("para") > 0)
     paras = paras.withColumn("h", F.md5("para"))
 
     if mode == "drop_repeats":
-        counts = paras.groupBy("h").agg(F.count("*").alias("c"))
+        counts = paras.groupBy("_s", "h").agg(F.count("*").alias("c"))
         kept = paras.join(
-            counts.where(F.col("c") <= max_count).select("h"), "h"
+            counts.where(F.col("c") <= max_count).select("_s", "h"),
+            ["_s", "h"],
         )
     else:  # keep_first
-        firsts = paras.groupBy("h").agg(
+        firsts = paras.groupBy("_s", "h").agg(
             F.min(F.struct("_id", "pos")).alias("f")
         )
-        kept = paras.join(firsts, "h").where(
+        kept = paras.join(firsts, ["_s", "h"]).where(
             (F.col("_id") == F.col("f._id")) & (F.col("pos") == F.col("f.pos"))
         )
 
     stats = paras.agg(
-        F.count("*").alias("n"), F.count_distinct("h").alias("d")
+        F.count("*").alias("n"),
+        F.count_distinct("_s", "h").alias("d"),
     ).collect()[0]
 
     rebuilt = kept.groupBy("_id").agg(

@@ -60,3 +60,30 @@ def test_validation(spark):
         paragraph_dedup(df(spark), mode="nope")
     with pytest.raises(ValueError):
         paragraph_dedup(df(spark), max_count=0)
+
+
+def test_host_scoped_dedup(spark):
+    """A per-host footer dies; a line each host carries ONCE survives
+    host-scoping (it would die corpus-wide)."""
+    from connected_components_3d_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (1, "h1", "own one\nh1 footer\nshared legal line"),
+        (2, "h1", "own two\nh1 footer"),
+        (3, "h2", "own three\nshared legal line"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    scoped = {
+        r["doc_id"]: r["text_clean"]
+        for r in paragraph_dedup(d, scope_col="host").docs.collect()
+    }
+    assert scoped[1] == "own one\nshared legal line"
+    assert scoped[2] == "own two"
+    assert scoped[3] == "own three\nshared legal line"
+    corpus = {
+        r["doc_id"]: r["text_clean"]
+        for r in paragraph_dedup(d).docs.collect()
+    }
+    assert corpus[1] == "own one"  # legal line dies corpus-wide
