@@ -98,6 +98,7 @@ def balanced_partitioning(
         F.min("src").alias("lo"), F.max("src").alias("hi")
     ).collect()[0]
     if rng["lo"] is None:
+        sym.unpersist()
         empty = spark.createDataFrame([], "vertex long, part int")
         return PartitioningResult(empty, k, 0, 0, {}, [])
     if rng["lo"] < 0 or rng["hi"] >= 2**30:

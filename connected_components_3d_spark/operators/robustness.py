@@ -79,6 +79,8 @@ def attack_robustness(
     )
     n_verts = deg.count()
     if n_verts == 0:
+        sym.unpersist()
+        deg.unpersist()
         empty = spark.createDataFrame(
             [],
             "fraction double, cutoff_degree long, n_removed long,"
@@ -213,6 +215,8 @@ def random_failure_robustness(
     )
     n_verts = deg.count()
     if n_verts == 0:
+        sym.unpersist()
+        deg.unpersist()
         empty = spark.createDataFrame(
             [],
             "fraction double, cutoff_degree long, n_removed long,"
@@ -222,6 +226,8 @@ def random_failure_robustness(
         return RobustnessResult(empty, [])
     lo = deg.agg(F.min("vertex").alias("lo")).collect()[0]["lo"]
     if lo < 0:
+        sym.unpersist()
+        deg.unpersist()
         raise ValueError(
             "random_failure_robustness requires vertex ids >= 0 (mix"
             f" predicate; got min id {lo})"
