@@ -3042,6 +3042,23 @@ def q_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select("prio", "p", F.round("q", 8).alias("q"))
 
 
+def q_distinct_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O95 on the driver gate: HLL distinct rollup
+    (operators/sketches.py) of planted per-source url keys (≤ 37 distinct
+    per source — well inside Datasketches' sparse/coupon mode, where the
+    estimate is EXACT). Oracle: plain COUNT(DISTINCT) — hash-exact in the
+    sparse regime; the beyond-sparse error envelope is pytest-pinned."""
+    from .operators.sketches import distinct_rollup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.expr("'u' || CAST(doc_id % 37 AS STRING)").alias("u"),
+    )
+    return distinct_rollup(docs, ["source"], "u").select(
+        "source", "n_distinct_est"
+    )
+
+
 def q_dup_ngrams_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O50b: the 20 most widespread duplicated 5-grams by
     (docs DESC, occurrences DESC, gram ASC) — deterministic total order so
@@ -6499,6 +6516,10 @@ SELECT t.doc_id, t.total_tokens,
   END AS dup_frac
 FROM tot t LEFT JOIN dg d ON d.doc_id = t.doc_id
 LEFT JOIN cov c ON c.doc_id = t.doc_id""",
+        "distinct_rollup_docs": """SELECT source,
+  COUNT(DISTINCT 'u' || CAST(doc_id % 37 AS VARCHAR))::BIGINT
+    AS n_distinct_est
+FROM documents GROUP BY source""",
         "quantiles_orders": """WITH g AS (
   SELECT o_orderpriority AS prio,
     quantile_cont(o_totalprice::DOUBLE, [0.25, 0.5, 0.9, 0.99]) AS qs
@@ -6720,6 +6741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_tree_ring": q_path_tree_ring,
         "ngram_removal_docs": q_ngram_removal_docs,
         "quantiles_orders": q_quantiles_orders,
+        "distinct_rollup_docs": q_distinct_rollup_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
