@@ -2709,6 +2709,23 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
 
 
+def q_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O96 on the driver gate: hopping-window event rates
+    (operators/windows.py, 1-hour windows hopping every 20 minutes, per
+    event_type). Oracle: first-principles restatement — hop offsets via
+    UNNEST(range), epoch-aligned window starts on epoch microseconds —
+    so Spark's F.window assignment is pinned against an independent
+    formulation; ROUND 8 on the value sums."""
+    from .operators.windows import hopping_window_counts
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return hopping_window_counts(
+        ev, window="1 hour", slide="20 minutes"
+    )
+
+
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_trunc bucketing agg (warc_ts-style time rollup)."""
     ev = load_table(spark, sf_dir, "events")
@@ -6369,6 +6386,17 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
 WHERE rn <= 3""",
         "customers_without_orders": """SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",
+        "hopping_events": """WITH e AS (
+  SELECT ts::TIMESTAMP AS ts, event_type, user_id, value,
+         epoch_us(ts::TIMESTAMP) AS us FROM events),
+x AS (SELECT *, ((us // 1200000000) - u.k) * 1200000000 AS ws
+  FROM e, UNNEST(range(0, 3)) AS u(k))
+SELECT make_timestamp(ws) AS window_start,
+  make_timestamp(ws + 3600000000) AS window_end,
+  event_type, COUNT(*)::BIGINT AS n_events,
+  COUNT(DISTINCT user_id)::BIGINT AS n_users,
+  ROUND(SUM(value), 8) AS sum_value
+FROM x GROUP BY 1, 2, 3""",
         "events_daily": """SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
   COUNT(*)::BIGINT AS n, ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY 1, 2""",
@@ -6810,6 +6838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
         "events_daily": q_events_daily,
+        "hopping_events": q_hopping_events,
         "events_sessions": q_events_sessions,
         "cooccurrence_events": q_cooccurrence_events,
         "transitions_events": q_transitions_events,
