@@ -3076,6 +3076,59 @@ def q_distinct_rollup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O97 on the driver gate: distributed BPE training
+    (operators/bpe.py, 10 merges) on the documents corpus; output =
+    the learned merge table (rank, left, right). Oracle: chained-CTE
+    replay — per step a pair-count aggregate, a (n DESC, a, b) argmax,
+    and a list_reduce greedy-fold rewrite of the vocab symbol arrays —
+    all-integer/string, hash-exact by construction."""
+    from .operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = bpe_train(docs, num_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(res.merges)],
+        "rank int, left string, right string",
+    )
+
+
+def _bpe_sql(num_merges: int = 10) -> str:
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT w, COUNT(*)::BIGINT AS count FROM (
+    SELECT UNNEST({_TOK.format(c='text')}) AS w FROM documents)
+  GROUP BY w)""",
+        "v0 AS MATERIALIZED (SELECT w, count,"
+        " string_split(w, '') AS sy FROM w0)",
+    ]
+    for t in range(1, num_merges + 1):
+        pr = t - 1
+        parts.append(
+            f"p{t} AS (SELECT sy[u.i] AS a, sy[u.i + 1] AS b,"
+            f" SUM(count)::BIGINT AS n FROM v{pr},"
+            " UNNEST(range(1, len(sy))) AS u(i)"
+            " WHERE len(sy) >= 2 GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT a, b FROM p{t}"
+            " ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT w, count,"
+            " list_reduce(list_transform(sy, x -> [x]),"
+            " (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a"
+            " AND x[1] = m.b THEN acc[:len(acc)-1] || [m.a || m.b]"
+            f" ELSE acc || x END) AS sy FROM v{pr} CROSS JOIN m{t} m)"
+        )
+    body = ",\n".join(parts)
+    selects = [
+        f"SELECT {t} AS rank, a AS left, b AS right FROM m{t}"
+        for t in range(1, num_merges + 1)
+    ]
+    return f"{body}\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_dup_ngrams_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O50b: the 20 most widespread duplicated 5-grams by
     (docs DESC, occurrences DESC, gram ASC) — deterministic total order so
@@ -6544,6 +6597,7 @@ SELECT t.doc_id, t.total_tokens,
   END AS dup_frac
 FROM tot t LEFT JOIN dg d ON d.doc_id = t.doc_id
 LEFT JOIN cov c ON c.doc_id = t.doc_id""",
+        "bpe_merges_docs": _bpe_sql(10),
         "distinct_rollup_docs": """SELECT source,
   COUNT(DISTINCT 'u' || CAST(doc_id % 37 AS VARCHAR))::BIGINT
     AS n_distinct_est
@@ -6770,6 +6824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_removal_docs": q_ngram_removal_docs,
         "quantiles_orders": q_quantiles_orders,
         "distinct_rollup_docs": q_distinct_rollup_docs,
+        "bpe_merges_docs": q_bpe_merges_docs,
         "sample_tree": q_sample_tree,
         "matching_tree": q_matching_tree,
         "mis_copart": q_mis_copart,
