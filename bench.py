@@ -240,6 +240,10 @@ def main() -> None:
     run("partition_cliques", dq.q_partition_cliques)
     run("hitting_time_tree", dq.q_hitting_time_tree)
     run("dust_rules_docs", dq.q_dust_rules_docs)
+    run("bpe_merges_docs", dq.q_bpe_merges_docs)
+    run("robustness_tree_ring", dq.q_robustness_tree_ring)
+    run("logreg_docs", dq.q_logreg_docs)
+    run("hopping_events", dq.q_hopping_events)
     run("sweepcut_ppr_bipartite", dq.q_sweepcut_ppr_bipartite)
     run("batch_ppr_bipartite", dq.q_batch_ppr_bipartite)
     run("heavy_tokens_docs", dq.q_heavy_tokens_docs)

@@ -69,6 +69,10 @@ GATED_TOTALS = [
     "partition_cliques",
     "hitting_time_tree",
     "dust_rules_docs",
+    "bpe_merges_docs",
+    "robustness_tree_ring",
+    "logreg_docs",
+    "hopping_events",
 ]
 
 
