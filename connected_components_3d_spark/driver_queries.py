@@ -331,6 +331,29 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
 
 
+def q_pagerank_ckpt_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7g on the driver gate: durably-checkpointed PageRank
+    (operators/pagerank.py ``pagerank_checkpointed``) — 5 fixed iterations
+    written and RESUMED in 2+2+1 chunks through the O2 checkpoint sink
+    (fresh tmp dir per run). The affine-composition exactness means the
+    output must equal one uninterrupted run, so the oracle is literally
+    the same 5-iteration chained-CTE replay `pagerank_bipartite` uses —
+    a gate-level proof that the chunk/restore machinery is bit-exact."""
+    import tempfile
+
+    from .operators.pagerank import pagerank_checkpointed
+
+    d = tempfile.mkdtemp(prefix="pr_ckpt_gate_")
+    res = pagerank_checkpointed(
+        spark,
+        bipartite_edges(spark, sf_dir),
+        checkpoint_dir=d,
+        fixed_iters=5,
+        checkpoint_every=2,
+    )
+    return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
 def q_pagerank_warm_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7f on the driver gate: warm-started PageRank (the incremental
     recrawl path) — 3 cold fixed iterations, then 2 more warm-started
@@ -5966,6 +5989,7 @@ SELECT COALESCE(od.vertex, id_.vertex) AS vertex,
   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS deg
 FROM od FULL OUTER JOIN id_ ON od.vertex = id_.vertex""",
         "pagerank_bipartite": _pagerank_sql(5, 0.85),
+        "pagerank_ckpt_bipartite": _pagerank_sql(5, 0.85),
         "pagerank_warm_bipartite": _pagerank_sql(5, 0.85),
         "hits_bipartite": _hits_sql(4),
         "salsa_bipartite": _salsa_sql(4),
@@ -6799,6 +6823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_tree": q_dust_tree,
         "degrees_bipartite": q_degrees_bipartite,
         "pagerank_bipartite": q_pagerank_bipartite,
+        "pagerank_ckpt_bipartite": q_pagerank_ckpt_bipartite,
         "pagerank_warm_bipartite": q_pagerank_warm_bipartite,
         "hits_bipartite": q_hits_bipartite,
         "ppr_bipartite": q_ppr_bipartite,

@@ -320,3 +320,93 @@ def pagerank_single_node(
     if fixed_iters is None:
         raise RuntimeError(f"single-node pagerank did not converge in {max_iter}")
     return x
+
+
+def pagerank_checkpointed(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    checkpoint_dir: str,
+    fixed_iters: int,
+    checkpoint_every: int = 1,
+    alpha: float = 0.85,
+    resume: bool = True,
+    checkpoint_format: str = "parquet",
+    **kw,
+) -> PageRankResult:
+    """Durable checkpoint/resume for PageRank — the O2 machinery CC has,
+    on the rank vector (north rule: "resumable from checkpoint with
+    per-partition lineage + metrics" names PageRank too).
+
+    One PR step is AFFINE (r' = αAᵀr + b), so k warm iterations from a
+    j-iteration vector equal j+k cold iterations on the same graph
+    BIT-FOR-BIT (the ``pagerank_warm_bipartite`` gate row pins the
+    composition). That exactness is what makes durable chunking safe:
+    this wrapper runs ``fixed_iters`` total iterations in
+    ``checkpoint_every``-sized chunks, writing the rank vector atomically
+    (sources/checkpoint.py manifest: per-file lineage, metrics, params)
+    after each chunk, and on restart resumes from the newest valid
+    snapshot via ``init_ranks`` — the final ranks are identical to an
+    uninterrupted run (pytest-pinned). Fixed-iteration contract only:
+    a convergence test would need its residual stream to cross chunks.
+
+    Safety rails mirror CC's (ADVICE r2 #1–#3): every manifest records
+    the INPUT-EDGE FINGERPRINT (count + order-free bounded hash-sum) and
+    alpha — the two properties a rank snapshot is a pure function of
+    (``fixed_iters`` is deliberately NOT a compatibility key: a snapshot
+    at step j is just "j iterations of (alpha, edges)", so relaunching
+    with a LARGER target legitimately resumes and extends it). A resume
+    against a drifted edge table, a different alpha, or a snapshot past
+    the requested target clears the stale steps and restarts cold —
+    composing yesterday's ranks with today's edges would be silently
+    wrong, never detectably wrong. Each resumed chunk reads the snapshot
+    back from the checkpoint (not driver lineage), so plan lineage
+    truncates at every chunk boundary.
+    """
+    from ..sources import checkpoint as ckpt
+
+    assert fixed_iters >= 1 and checkpoint_every >= 1
+    rng = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))
+        ).alias("s"),
+    ).collect()[0]
+    edge_fp = f"{rng['n']}:{rng['s'] or 0}"
+    params = {"kernel": "pagerank", "alpha": alpha, "edge_fp": edge_fp}
+    done = 0
+    ranks: DataFrame | None = None
+    if resume:
+        latest = ckpt.latest_valid_step(checkpoint_dir)
+        if latest is not None:
+            m = ckpt.read_manifest(checkpoint_dir, latest)
+            if ckpt.compatible_params(m, params) and latest <= fixed_iters:
+                done = latest
+                ranks = ckpt.read_checkpoint(spark, checkpoint_dir, latest)
+            else:
+                ckpt.clear_steps(checkpoint_dir)
+    metrics: list[dict] = []
+    while done < fixed_iters:
+        k = min(checkpoint_every, fixed_iters - done)
+        res = pagerank(
+            spark,
+            edges,
+            alpha=alpha,
+            fixed_iters=k,
+            init_ranks=ranks,
+            **kw,
+        )
+        done += k
+        ckpt.write_checkpoint(
+            res.ranks,
+            checkpoint_dir,
+            done,
+            metrics={"iters_done": done, "chunk_iters": k},
+            params=params,
+            table_format=checkpoint_format,
+        )
+        ranks = ckpt.read_checkpoint(spark, checkpoint_dir, done)
+        metrics.extend(res.metrics)
+    if ranks is None:  # fully resumed at fixed_iters already
+        ranks = ckpt.read_checkpoint(spark, checkpoint_dir, fixed_iters)
+    return PageRankResult(ranks, fixed_iters, True, metrics)

@@ -86,3 +86,94 @@ def test_warm_start_composition(spark):
     partial = cold3.ranks.where("vertex % 2 = 0")
     res = pagerank(spark, df, fixed_iters=1, init_ranks=partial)
     assert res.ranks.count() == len(a)
+
+
+# --- durable checkpoint/resume (pagerank_checkpointed) ---------------------
+
+
+def test_checkpointed_equals_uninterrupted(spark, tmp_path):
+    """Chunked checkpointing (2+2+1) is bit-identical to one 5-iteration
+    run — the affine-composition exactness the wrapper relies on."""
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.pagerank import (
+        pagerank,
+        pagerank_checkpointed,
+    )
+
+    g = nx.gnp_random_graph(120, 0.05, seed=21, directed=True)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    cold = pagerank(spark, e, fixed_iters=5)
+    ck = pagerank_checkpointed(
+        spark, e, checkpoint_dir=str(tmp_path / "ck"), fixed_iters=5,
+        checkpoint_every=2,
+    )
+    a = {r["vertex"]: r["rank"] for r in cold.ranks.collect()}
+    b = {r["vertex"]: r["rank"] for r in ck.ranks.collect()}
+    assert a == b  # bit-identical, not allclose
+
+
+def test_checkpointed_resume_continues(spark, tmp_path):
+    """A second invocation after a partial run completes the remaining
+    iterations from the snapshot and matches the uninterrupted answer."""
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.pagerank import (
+        pagerank,
+        pagerank_checkpointed,
+    )
+    from connected_components_3d_spark.sources import checkpoint as ckpt
+
+    g = nx.gnp_random_graph(100, 0.06, seed=22, directed=True)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    d = str(tmp_path / "ck2")
+    # "killed" run: only 2 of 5 iterations got checkpointed
+    pagerank_checkpointed(
+        spark, e, checkpoint_dir=d, fixed_iters=2, checkpoint_every=2
+    )
+    m = ckpt.read_manifest(d, 2)
+    assert m["metrics"]["iters_done"] == 2
+    # relaunch with the full target: must RESUME from step 2 (the step-2
+    # snapshot stays the newest valid step and its params are compatible),
+    # run 3 more iterations, and land on the uninterrupted answer
+    res = pagerank_checkpointed(
+        spark, e, checkpoint_dir=d, fixed_iters=5, checkpoint_every=2
+    )
+    assert ckpt.latest_valid_step(d) == 5
+    assert ckpt.read_manifest(d, 2) is not None  # not cleared: resumed
+    cold = pagerank(spark, e, fixed_iters=5)
+    a = {r["vertex"]: r["rank"] for r in cold.ranks.collect()}
+    b = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    assert a == b
+
+
+def test_checkpointed_refuses_drifted_edges(spark, tmp_path):
+    """Resume against a drifted edge table restarts cold (stale steps
+    cleared) instead of composing yesterday's ranks with today's graph."""
+    from connected_components_3d_spark.operators.pagerank import (
+        pagerank,
+        pagerank_checkpointed,
+    )
+    from connected_components_3d_spark.sources import checkpoint as ckpt
+
+    e1 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    e2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 1)], "src long, dst long"
+    )
+    d = str(tmp_path / "ck3")
+    pagerank_checkpointed(
+        spark, e1, checkpoint_dir=d, fixed_iters=3, checkpoint_every=1
+    )
+    res = pagerank_checkpointed(
+        spark, e2, checkpoint_dir=d, fixed_iters=3, checkpoint_every=3
+    )
+    cold = pagerank(spark, e2, fixed_iters=3)
+    a = {r["vertex"]: r["rank"] for r in cold.ranks.collect()}
+    b = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    assert a == b  # NOT polluted by the e1 snapshots
