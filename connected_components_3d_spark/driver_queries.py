@@ -774,6 +774,27 @@ def q_walks_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.corpus
 
 
+def q_lpa_ckpt_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8b on the driver gate: durably-checkpointed LPA — 3 fixed
+    iterations written/resumed in 2+1 chunks through the O2 sink (fresh
+    tmp dir). Synchronous LPA is a deterministic map on its label state,
+    so the output must equal the uninterrupted run: the oracle is the
+    SAME 3-iteration chained-CTE replay `lpa_tree` uses."""
+    import tempfile
+
+    from .operators.lpa import label_propagation_checkpointed
+
+    d = tempfile.mkdtemp(prefix="lpa_ckpt_gate_")
+    res = label_propagation_checkpointed(
+        spark,
+        tree_edges(spark, sf_dir),
+        checkpoint_dir=d,
+        fixed_iters=3,
+        checkpoint_every=2,
+    )
+    return res.labels
+
+
 def q_node2vec_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O24b on the driver gate: node2vec second-order biased walks
     (length 4, p=4, q=1/4 — the outward/DFS-leaning setting, seed 42) over
@@ -6337,6 +6358,7 @@ GROUP BY 1, 2""",
             3,
         ),
         "lpa_tree": _lpa_sql(3),
+        "lpa_ckpt_tree": _lpa_sql(3),
         "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
         "bfs_heap": _bfs_sql(_HEAP_EDGES_SQL, [1, 7, 23], 16),
         "betweenness_heap": _betweenness_sql(_DIAMOND_HEAP_EDGES_SQL, [1, 6, 7], 16),
@@ -6897,6 +6919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function_r3": q_neighborhood_function_r3,
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
+        "lpa_ckpt_tree": q_lpa_ckpt_tree,
         "triangles_copart": q_triangles_copart,
         "truss_copart": q_truss_copart,
         "bfs_heap": q_bfs_heap,

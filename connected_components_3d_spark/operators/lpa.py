@@ -222,3 +222,67 @@ def lpa_single_node(
             break
         labels = new
     return labels
+
+
+def label_propagation_checkpointed(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    checkpoint_dir: str,
+    fixed_iters: int,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+    checkpoint_format: str = "parquet",
+    **kw,
+) -> LPAResult:
+    """Durable checkpoint/resume for LPA — the O7g wrapper pattern
+    (operators/pagerank.py ``pagerank_checkpointed``) on the label table.
+    Synchronous LPA is a deterministic map on its state (labels ↦ next
+    labels, given the edge table), so running ``fixed_iters`` in
+    ``checkpoint_every``-sized chunks warm-started via ``initial_labels``
+    is BIT-identical to one uninterrupted run — chunked durability is
+    free. Manifests record the input-edge fingerprint (count + order-free
+    bounded hash-sum); a drifted edge table or a snapshot past the target
+    clears the steps and restarts cold (labels from another graph must
+    never seed this one). Fixed-iteration contract only."""
+    from ..sources import checkpoint as ckpt
+
+    assert fixed_iters >= 1 and checkpoint_every >= 1
+    rng = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000_007))
+        ).alias("s"),
+    ).collect()[0]
+    params = {"kernel": "lpa", "edge_fp": f"{rng['n']}:{rng['s'] or 0}"}
+    done = 0
+    labels: DataFrame | None = None
+    if resume:
+        latest = ckpt.latest_valid_step(checkpoint_dir)
+        if latest is not None:
+            m = ckpt.read_manifest(checkpoint_dir, latest)
+            if ckpt.compatible_params(m, params) and latest <= fixed_iters:
+                done = latest
+                labels = ckpt.read_checkpoint(spark, checkpoint_dir, latest)
+            else:
+                ckpt.clear_steps(checkpoint_dir)
+    metrics: list[dict] = []
+    while done < fixed_iters:
+        k = min(checkpoint_every, fixed_iters - done)
+        res = label_propagation(
+            spark, edges, fixed_iters=k, initial_labels=labels, **kw
+        )
+        done += k
+        ckpt.write_checkpoint(
+            res.labels,
+            checkpoint_dir,
+            done,
+            metrics={"iters_done": done, "chunk_iters": k},
+            params=params,
+            table_format=checkpoint_format,
+        )
+        labels = ckpt.read_checkpoint(spark, checkpoint_dir, done)
+        metrics.extend(res.metrics)
+    if labels is None:
+        labels = ckpt.read_checkpoint(spark, checkpoint_dir, fixed_iters)
+    return LPAResult(labels, fixed_iters, True, metrics)

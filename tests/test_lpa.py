@@ -62,3 +62,55 @@ def test_lpa_isolated_vertex_keeps_label(spark):
     res = label_propagation(spark, edges_df(spark, pairs), fixed_iters=3)
     got = {r["vertex"]: r["label"] for r in res.labels.collect()}
     assert got[5] in (5, 6) and got[1] in (1, 2)
+
+
+# --- durable checkpoint/resume (label_propagation_checkpointed) ------------
+
+
+def test_lpa_checkpointed_equals_uninterrupted(spark, tmp_path):
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.lpa import (
+        label_propagation,
+        label_propagation_checkpointed,
+    )
+
+    g = nx.gnp_random_graph(90, 0.07, seed=25)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    cold = label_propagation(spark, e, fixed_iters=4)
+    ck = label_propagation_checkpointed(
+        spark, e, checkpoint_dir=str(tmp_path / "lck"), fixed_iters=4,
+        checkpoint_every=2,
+    )
+    a = {r["vertex"]: r["label"] for r in cold.labels.collect()}
+    b = {r["vertex"]: r["label"] for r in ck.labels.collect()}
+    assert a == b
+
+
+def test_lpa_checkpointed_resume_extends(spark, tmp_path):
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.lpa import (
+        label_propagation,
+        label_propagation_checkpointed,
+    )
+    from connected_components_3d_spark.sources import checkpoint as ckpt
+
+    g = nx.gnp_random_graph(70, 0.08, seed=26)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    d = str(tmp_path / "lck2")
+    label_propagation_checkpointed(
+        spark, e, checkpoint_dir=d, fixed_iters=2, checkpoint_every=2
+    )
+    res = label_propagation_checkpointed(
+        spark, e, checkpoint_dir=d, fixed_iters=4, checkpoint_every=2
+    )
+    assert ckpt.read_manifest(d, 2) is not None  # resumed, not cleared
+    cold = label_propagation(spark, e, fixed_iters=4)
+    a = {r["vertex"]: r["label"] for r in cold.labels.collect()}
+    b = {r["vertex"]: r["label"] for r in res.labels.collect()}
+    assert a == b
