@@ -187,3 +187,73 @@ def test_frontier_shard_is_map_side(spark):
         docs, priority_col="prio", per_host_rate=2, num_shards=4
     )
     assert exchange_count(out) <= 1, explain_str(out)
+
+
+# --- round-4 continuation operators: plan-shape audits ---------------------
+
+
+def test_rmat_generation_is_exchange_free(spark):
+    """The R-MAT source must be a pure map over spark.range — zero
+    exchanges, zero joins: generation parallelism is free at any scale."""
+    from connected_components_3d_spark.sources.rmat import rmat_edges
+
+    df = rmat_edges(spark, 10, 10_000)
+    assert exchange_count(df) == 0, explain_str(df)
+    assert "Join" not in explain_str(df)
+
+
+def test_dust_rules_exchange_budget(spark):
+    """DUST mining: two aggregate exchanges (group stage + host rollup),
+    no join exchanges — the operator is explode + two groupBys."""
+    from connected_components_3d_spark.operators.dust import param_dust_rules
+
+    docs = load_table(spark, SF, "documents").select(
+        F.expr("'https://h' || CAST(doc_id % 5 AS STRING)"
+               " || '.example.com/p?x=' || CAST(doc_id AS STRING)").alias("url"),
+        "text",
+    )
+    df = param_dust_rules(docs).rules
+    assert exchange_count(df) <= 2, explain_str(df)
+    assert "Join" not in explain_str(df)
+
+
+def test_path_rollup_single_aggregate_exchange(spark):
+    from connected_components_3d_spark.operators.pathtree import (
+        path_prefix_rollup,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        F.expr("'https://h.example.com/a/' || CAST(doc_id AS STRING)").alias(
+            "url"
+        ),
+        "text",
+    )
+    df = path_prefix_rollup(docs).rollup
+    # one partial+final agg pair → at most one exchange (AQE may report 0
+    # before the shuffle materializes)
+    assert exchange_count(df) <= 1, explain_str(df)
+    assert "Join" not in explain_str(df)
+
+
+def test_hopping_window_single_aggregate_exchange(spark):
+    from connected_components_3d_spark.operators.windows import (
+        hopping_window_counts,
+    )
+
+    ev = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df = hopping_window_counts(ev)
+    # countDistinct expands to a two-phase distinct aggregate: ≤ 2 exchanges
+    assert exchange_count(df) <= 2, explain_str(df)
+    assert "Join" not in explain_str(df)
+
+
+def test_logreg_scoring_is_map_only(spark):
+    from connected_components_3d_spark.operators.logreg import predict_proba
+
+    docs = load_table(spark, SF, "documents").select(
+        (F.col("n_chars") / 1000.0).alias("x0")
+    )
+    df = predict_proba(docs, ["x0"], [1.5], -0.5)
+    assert exchange_count(df) == 0, explain_str(df)
