@@ -795,6 +795,31 @@ def q_lpa_ckpt_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.labels
 
 
+def q_eccentricity_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O99 on the driver gate: exact per-vertex eccentricity
+    (operators/neighborhood.py ``eccentricity_exact``) over the
+    symmetrized region-forest tree graph — closed structure: regions
+    ecc 2, nations 3, customers 4, per component. Oracle: bounded
+    recursive-CTE min-distance pairs + MAX per vertex — hash-exact."""
+    from .operators.neighborhood import eccentricity_exact
+
+    return eccentricity_exact(spark, tree_edges(spark, sf_dir))
+
+
+_ECCENTRICITY_TREE_SQL = f"""WITH RECURSIVE te AS MATERIALIZED {_TREE_EDGES_SQL},
+e AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM
+  (SELECT src, dst FROM te UNION ALL SELECT dst, src FROM te)
+  WHERE src <> dst),
+verts AS MATERIALIZED (SELECT DISTINCT a AS vertex FROM e),
+w(v, m, d) AS (
+  SELECT vertex, vertex, 0 FROM verts
+  UNION
+  SELECT w.v, e.b, w.d + 1 FROM w JOIN e ON e.a = w.m WHERE w.d < 5
+),
+dm AS (SELECT v, m, MIN(d) AS d FROM w GROUP BY v, m)
+SELECT v AS vertex, MAX(d)::BIGINT AS ecc FROM dm GROUP BY v"""
+
+
 def q_node2vec_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O24b on the driver gate: node2vec second-order biased walks
     (length 4, p=4, q=1/4 — the outward/DFS-leaning setting, seed 42) over
@@ -6359,6 +6384,7 @@ GROUP BY 1, 2""",
         ),
         "lpa_tree": _lpa_sql(3),
         "lpa_ckpt_tree": _lpa_sql(3),
+        "eccentricity_tree": _ECCENTRICITY_TREE_SQL,
         "truss_copart": _truss_sql(_COPART_EDGES_SQL, 5, 6),
         "bfs_heap": _bfs_sql(_HEAP_EDGES_SQL, [1, 7, 23], 16),
         "betweenness_heap": _betweenness_sql(_DIAMOND_HEAP_EDGES_SQL, [1, 6, 7], 16),
@@ -6920,6 +6946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_tree_r3": q_harmonic_tree_r3,
         "lpa_tree": q_lpa_tree,
         "lpa_ckpt_tree": q_lpa_ckpt_tree,
+        "eccentricity_tree": q_eccentricity_tree,
         "triangles_copart": q_triangles_copart,
         "truss_copart": q_truss_copart,
         "bfs_heap": q_bfs_heap,

@@ -272,3 +272,80 @@ def hyperball(
     )
     e.unpersist()
     return out
+
+
+def eccentricity_exact(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    max_radius: int = 100,
+) -> DataFrame:
+    """Per-vertex eccentricity over the symmetrized graph — the radius at
+    which v's reachability ball stops growing: ecc(v) = max_u d(v, u)
+    within v's component (0 for isolated vertices; unreachable pairs are
+    ignored — the per-component convention networkx uses). min ecc over a
+    component is its RADIUS (center vertices attain it), max is the
+    diameter (periphery attains it) — the center/periphery query this
+    serves (which page is structurally central to its cluster).
+
+    Same DISTINCT (vertex, member) pair-state expansion as
+    ``neighborhood_exact`` (the ORACLE path — Σ|ball| state; honest for
+    gate-scale graphs and small-diameter components; HyperBall saturation
+    is the scale-path estimate): per round one edge join + an anti-join
+    against the accumulated pairs + a vertex-sized "grew this round"
+    update. Stops at the reachability fixpoint (or ``max_radius``, ecc
+    then a lower bound). The ``eccentricity_tree`` gate row replays the
+    per-round ball counts in DuckDB and derives ecc as the largest
+    growth round — hash-exact."""
+    assert 1 <= max_radius <= 10_000
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e0 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    sym = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(p, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    verts = (
+        sym.select(F.col("src").alias("vertex")).distinct()
+    )
+    pairs = verts.select(
+        F.col("vertex").alias("v"), F.col("vertex").alias("m")
+    ).localCheckpoint(eager=True)
+    frontier = pairs
+    ecc = verts.select("vertex", F.lit(0).cast("long").alias("ecc"))
+    ecc = ecc.localCheckpoint(eager=True)
+    for r in range(1, max_radius + 1):
+        cand = (
+            frontier.join(
+                sym.select(F.col("src").alias("m"), F.col("dst").alias("m2")),
+                "m",
+            )
+            .select("v", F.col("m2").alias("m"))
+            .distinct()
+        )
+        new = cand.join(pairs, ["v", "m"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        grew = new.select(F.col("v").alias("vertex")).distinct()
+        n_grew = grew.count()
+        if n_grew == 0:
+            break
+        ecc = (
+            ecc.join(grew.withColumn("g", F.lit(1)), "vertex", "left")
+            .select(
+                "vertex",
+                F.when(F.col("g").isNotNull(), F.lit(r).cast("long"))
+                .otherwise(F.col("ecc"))
+                .alias("ecc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pairs = pairs.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    sym.unpersist()
+    return ecc

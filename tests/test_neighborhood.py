@@ -171,3 +171,58 @@ def test_effective_diameter_alpha_validation(spark):
 
     with pytest.raises(ValueError):
         effective_diameter(spark, edges_df(spark, [(1, 2)]), alpha=1.5)
+
+
+# --- exact eccentricity ----------------------------------------------------
+
+
+def test_eccentricity_networkx_parity(spark):
+    import networkx as nx
+
+    from connected_components_3d_spark.operators.neighborhood import (
+        eccentricity_exact,
+    )
+
+    g = nx.gnp_random_graph(60, 0.06, seed=43)
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long"
+    )
+    got = {
+        r["vertex"]: r["ecc"] for r in eccentricity_exact(spark, e).collect()
+    }
+    for comp in nx.connected_components(g):
+        sub = g.subgraph(comp)
+        if sub.number_of_edges() == 0:
+            continue  # isolated vertices don't appear in the edge table
+        exp = nx.eccentricity(sub)
+        for v, ev in exp.items():
+            assert got[v] == ev, (v, got[v], ev)
+
+
+def test_eccentricity_closed_forms(spark):
+    from connected_components_3d_spark.operators.neighborhood import (
+        eccentricity_exact,
+    )
+
+    # path 0-1-2-3-4: ecc = [4,3,2,3,4]; star center 10: ecc 1, leaves 2
+    pairs = [(i, i + 1) for i in range(4)] + [(10, 20 + i) for i in range(4)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["vertex"]: r["ecc"] for r in eccentricity_exact(spark, e).collect()
+    }
+    assert [got[i] for i in range(5)] == [4, 3, 2, 3, 4]
+    assert got[10] == 1 and all(got[20 + i] == 2 for i in range(4))
+
+
+def test_eccentricity_max_radius_lower_bound(spark):
+    from connected_components_3d_spark.operators.neighborhood import (
+        eccentricity_exact,
+    )
+
+    pairs = [(i, i + 1) for i in range(9)]  # path, true max ecc 9
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["vertex"]: r["ecc"]
+        for r in eccentricity_exact(spark, e, max_radius=3).collect()
+    }
+    assert max(got.values()) == 3  # truncated: a valid lower bound
