@@ -88,8 +88,13 @@ def label_propagation(
     # sorted-cached edge layout (see pagerank.py): the per-iteration
     # histogram join re-sorts only the labels side, never the edge side
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Self-loop convention: (v,v) edges are DROPPED after symmetrize, so a
+    # vertex never counts its own label in its neighbor histogram and a
+    # self-loop-only vertex is not in the vertex set — the same convention
+    # lpa_single_node (the parity oracle) applies with its u==v skip.
     e = (
         symmetrize(edges)
+        .where(F.col("src") != F.col("dst"))
         .repartition(p, "src")
         .sortWithinPartitions("src")
         .persist()

@@ -140,14 +140,28 @@ def triangle_count_doulion(
         mix(a, b) = (a·1103515245 + b) % (2^31 − 1)
 
     — the walks.py integer-mix family (ideal-mix uniform per edge, exactly
-    replayable; vertex ids must sit in [0, 2^31), asserted upstream by no
-    kernel here — callers with wider ids rescale first). p = (1, 1) keeps
-    every edge and reproduces ``triangle_count`` exactly.
+    replayable; vertex ids must sit in [0, 2^31), enforced below with the
+    same min/max range check walks.py uses — callers with wider ids, e.g.
+    xxhash64-keyed href edges, rescale first). p = (1, 1) keeps every edge
+    and reproduces ``triangle_count`` exactly.
 
     Returns (n_edges_sampled, n_triangles_sampled, estimate)."""
     num, den = p
     assert 1 <= num <= den <= 10_000 and 0 <= seed < _M
     und = canonical_undirected(edges)
+    rng = und.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+    ).collect()[0]
+    if rng["lo"] is not None and (rng["lo"] < 0 or rng["hi"] >= _M):
+        raise ValueError(
+            "triangle_count_doulion requires vertex ids in [0, 2^31): the"
+            " keep-predicate's modular mix is negative-unsafe (negative ids"
+            " skew sampling probability away from p, and the mix product can"
+            f" overflow int64 under ANSI mode; got range"
+            f" [{rng['lo']}, {rng['hi']}]). Rescale ids first (e.g. via"
+            " operators/keyed.py dense relabeling)."
+        )
     lit = lambda x: F.lit(x).cast("long")  # noqa: E731
     keep = (
         (lit(seed) * lit(_A) + F.col("src")) % lit(_M) * lit(_A)

@@ -33,18 +33,22 @@ def hopping_window_counts(
     *,
     ts_col: str = "ts",
     group_cols: list[str] = ["event_type"],
+    user_col: str = "user_id",
+    value_col: str = "value",
     window: str = "15 minutes",
     slide: str = "5 minutes",
 ) -> DataFrame:
     """Per-(hopping window, group) event counts / distinct users / value
-    sums — see module docstring."""
+    sums — see module docstring. ``user_col``/``value_col`` name the
+    distinct-count and sum inputs (parameterized like ts_col/group_cols,
+    so any event-log schema works, not just the fixture's)."""
     w = F.window(F.col(ts_col), window, slide)
     return (
         events.groupBy(w.alias("w"), *group_cols)
         .agg(
             F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 8).alias("sum_value"),
+            F.countDistinct(user_col).alias("n_users"),
+            F.round(F.sum(value_col), 8).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -114,3 +114,16 @@ def test_lpa_checkpointed_resume_extends(spark, tmp_path):
     a = {r["vertex"]: r["label"] for r in cold.labels.collect()}
     b = {r["vertex"]: r["label"] for r in res.labels.collect()}
     assert a == b
+
+
+def test_lpa_self_loop_parity(spark):
+    # (v,v) edges are dropped after symmetrize: a vertex never counts its
+    # own label, and a self-loop-only vertex (9,9) is absent from the
+    # output — exactly lpa_single_node's u==v skip convention.
+    pairs = [(1, 2), (2, 3), (3, 1), (2, 2), (4, 5), (4, 4), (9, 9)]
+    for k in (1, 2, 4):
+        res = label_propagation(spark, edges_df(spark, pairs), fixed_iters=k)
+        got = {r["vertex"]: r["label"] for r in res.labels.collect()}
+        want = lpa_single_node(pairs, iters=k)
+        assert got == want, f"k={k}"
+    assert 9 not in got

@@ -116,3 +116,18 @@ def test_doulion_estimator_in_range(spark):
     _, _, est = triangle_count_doulion(e, (1, 2))
     assert exact > 100
     assert 0.5 * exact < est < 2.0 * exact
+
+
+def test_doulion_rejects_out_of_range_ids(spark):
+    import pytest
+
+    from connected_components_3d_spark.operators.triangles import (
+        triangle_count_doulion,
+    )
+
+    e = spark.createDataFrame([(-5, 3), (3, 7)], "src long, dst long")
+    with pytest.raises(ValueError, match=r"\[0, 2\^31\)"):
+        triangle_count_doulion(e, (1, 2))
+    e2 = spark.createDataFrame([(2, 2**31 + 9)], "src long, dst long")
+    with pytest.raises(ValueError, match=r"\[0, 2\^31\)"):
+        triangle_count_doulion(e2, (1, 2))

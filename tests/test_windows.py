@@ -60,3 +60,35 @@ def test_every_event_in_exactly_three_hops(spark):
         ev_df(spark, rows), window="15 minutes", slide="5 minutes"
     ).collect()
     assert sum(r["n_events"] for r in got) == 3 * 40  # window/slide = 3
+
+
+def test_hopping_window_custom_columns(spark):
+    # same data, renamed columns: parameterized user_col/value_col must
+    # reproduce the default-schema result exactly
+    import datetime as dt
+
+    from connected_components_3d_spark.operators.windows import (
+        hopping_window_counts,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, m), "a", u, float(m)) for m, u in
+        [(1, 10), (4, 11), (7, 10), (12, 12), (31, 10)]
+    ]
+    base = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+    renamed = (
+        base.withColumnRenamed("user_id", "uid")
+        .withColumnRenamed("value", "amount")
+    )
+    want = sorted(map(tuple, hopping_window_counts(base).collect()))
+    got = sorted(
+        map(
+            tuple,
+            hopping_window_counts(
+                renamed, user_col="uid", value_col="amount"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
