@@ -19,7 +19,8 @@ min-attach is the deterministic refinement, and core/noise sets are
 IDENTICAL to classic DBSCAN's.
 
 Scale shape: the default neighbor source is the exact all-pairs cosine
-(quadratic — the oracle/baseline path, same stance as cosine_topk_brute);
+(quadratic — the oracle/baseline path, same stance as cosine_topk_brute),
+guarded by ``brute_max_rows`` so it cannot run silently on large inputs;
 at scale callers pass ``pairs=`` from the LSH/IVF candidate machinery and
 the rest of the pipeline is unchanged: degree count, core filter, CC over
 core-core edges (the engine kernel — skew-salted, int-packed), one
@@ -43,17 +44,33 @@ def dbscan(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pairs: DataFrame | None = None,
+    brute_max_rows: int = 100_000,
 ) -> DataFrame:
     """DBSCAN over cosine neighborhoods: rows (id:long, cluster:long,
     role:string 'core'|'border') — noise points are omitted. ``pairs``
     overrides the quadratic exact pair source with precomputed
-    (id_a, id_b, cos) candidates (the LSH scale path; both directions
-    must be present, as cosine_pairs emits)."""
+    (id_a, id_b, cos) candidates (the LSH scale path — e.g.
+    ``similarity.lsh_cosine_pairs``; both directions must be present, as
+    cosine_pairs emits). Without ``pairs``, inputs larger than
+    ``brute_max_rows`` are refused rather than silently running the O(n²)
+    cross join — pass explicit candidates (or raise the threshold
+    deliberately) above that size."""
     if min_pts < 1:
         raise ValueError(f"dbscan: min_pts must be >= 1, got {min_pts}")
     from .cc import connected_components
 
     ids = emb.select(F.col(id_col).cast("long").alias("id")).distinct()
+    if pairs is None:
+        n = ids.count()
+        if n > brute_max_rows:
+            raise ValueError(
+                f"dbscan: {n} input rows exceed brute_max_rows="
+                f"{brute_max_rows} and no pairs= was given; the default"
+                " neighbor source is an exact all-pairs cosine (O(n²))."
+                " Pass pairs=similarity.lsh_cosine_pairs(emb, ...) (or"
+                " another candidate source), or raise brute_max_rows to"
+                " opt into the quadratic path deliberately."
+            )
     pr = pairs if pairs is not None else cosine_pairs(emb, vec_col, id_col)
     nbr = pr.where(F.col("cos") >= tau).select(
         F.col("id_a").cast("long").alias("id_a"),

@@ -306,22 +306,21 @@ def cosine_topk_ivf(
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
-def cosine_topk_lsh(
+def lsh_cosine_pairs(
     emb: DataFrame,
-    k: int = 5,
     num_planes: int = 6,
     num_tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank over candidates that share a
-    bucket in ANY of ``num_tables`` LSH tables.
-
-    Work/recall dials: planes shrink buckets (each plane halves expected
-    bucket size → the bucket join distributes on (table, bucket)); tables
-    multiply recall. Approximate by construction → verified with a recall@k
-    floor, not exact parity.
-    """
+    """LSH candidate pairs with exact cosine — (id_a, id_b, cos) for every
+    ordered pair sharing a bucket in ANY of ``num_tables`` tables (both
+    directions present, like ``cosine_pairs``; ROUND(cos,6) float parity).
+    The scale-path pair source for DBSCAN ``pairs=`` and
+    ``mutual_nearest_pairs(topk=...)``: candidate generation distributes on
+    the (table, bucket) join key instead of the quadratic cross join —
+    a subset of cosine_pairs's output, with recall set by the dials
+    (planes shrink buckets, tables multiply recall)."""
     b = lsh_buckets(emb, num_planes, num_tables, vec_col, id_col)
     a = b.select("table", "bucket", F.col("id").alias("id_a"))
     c = b.select("table", "bucket", F.col("id").alias("id_b"))
@@ -334,7 +333,7 @@ def cosine_topk_lsh(
     base = with_norm(emb, vec_col, id_col)
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
-    pairs = (
+    return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -343,12 +342,35 @@ def cosine_topk_lsh(
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
     )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank over candidates that share a
+    bucket in ANY of ``num_tables`` LSH tables (``lsh_cosine_pairs``).
+
+    Work/recall dials: planes shrink buckets (each plane halves expected
+    bucket size → the bucket join distributes on (table, bucket)); tables
+    multiply recall. Approximate by construction → verified with a recall@k
+    floor, not exact parity.
+    """
+    pairs = lsh_cosine_pairs(emb, num_planes, num_tables, vec_col, id_col)
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
 def mutual_nearest_pairs(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    topk: DataFrame | None = None,
 ) -> DataFrame:
     """Reciprocal-best-match pairs — each side is the other's TOP-1 cosine
     neighbor (ties by smaller id, the cosine_topk_brute order). The
@@ -358,12 +380,23 @@ def mutual_nearest_pairs(
     a one-sided top-1 admits.
 
     Output: (id_a, id_b, cos) with id_a < id_b, one row per mutual pair.
-    Composition: top-1 per id from the exact brute path (O(n²) baseline —
-    at scale swap ``cosine_topk_brute`` for the LSH/IVF top-k and keep the
-    same mutual join), then a self-join keeping pairs appearing in both
-    directions."""
-    top1 = cosine_topk_brute(emb, k=1, vec_col=vec_col, id_col=id_col).select(
-        "id_a", "id_b", "cos"
+    Composition: top-1 per id, then a self-join keeping pairs appearing in
+    both directions.
+
+    ``topk`` is the pluggable neighbor source (same seam as DBSCAN's
+    ``pairs=``): any (id_a, id_b, cos) DataFrame — e.g.
+    ``cosine_topk_lsh(...)`` or ``cosine_topk_ivf(...)`` at scale; the
+    per-id top-1 is re-derived here so callers may pass k>1 candidates.
+    Default None runs the exact brute path (O(n²) — oracle baseline only;
+    do not default this at scale)."""
+    if topk is None:
+        topk = cosine_topk_brute(emb, k=1, vec_col=vec_col, id_col=id_col)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    top1 = (
+        topk.select("id_a", "id_b", "cos")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id_a", "id_b", "cos")
     )
     rev = top1.select(
         F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")

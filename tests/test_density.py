@@ -78,3 +78,55 @@ def test_min_pts_one_everything_core(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         dbscan(spark, emb_df(spark, {}), min_pts=0)
+
+
+def test_dbscan_lsh_pairs_two_blobs(spark):
+    """The pairs= scale path with LSH candidates reproduces the brute
+    path's core/noise sets (and full cluster assignment) on the two-blobs
+    fixture — generous tables give the within-blob pairs full recall."""
+    from connected_components_3d_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    rng = random.Random(42)
+    vecs = {}
+    i = 0
+    for v in blob(rng, [1.0] + [0.0] * 7, 8):
+        vecs[i] = v
+        i += 1
+    for v in blob(rng, [0.0] * 4 + [1.0] + [0.0] * 3, 8):
+        vecs[i] = v
+        i += 1
+    vecs[i] = [0.5] * 8  # noise outlier
+    emb = emb_df(spark, vecs)
+    brute = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(spark, emb, tau=0.9, min_pts=4).collect()
+    }
+    cand = lsh_cosine_pairs(emb, num_planes=2, num_tables=8)
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(spark, emb, tau=0.9, min_pts=4, pairs=cand).collect()
+    }
+    assert got == brute
+    assert 16 not in got  # outlier still noise on the LSH path
+
+
+def test_dbscan_brute_guard(spark):
+    """Above brute_max_rows without pairs= the quadratic default refuses;
+    an explicit pairs= (or a raised threshold) still runs."""
+    from connected_components_3d_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    vecs = {i: [float(i + 1), 1.0] for i in range(12)}
+    emb = emb_df(spark, vecs)
+    with pytest.raises(ValueError, match="brute_max_rows"):
+        dbscan(spark, emb, tau=0.5, min_pts=2, brute_max_rows=10)
+    ok = dbscan(
+        spark, emb, tau=0.5, min_pts=2, brute_max_rows=10,
+        pairs=cosine_pairs(emb),
+    )
+    assert ok.count() > 0
+    ok2 = dbscan(spark, emb, tau=0.5, min_pts=2, brute_max_rows=1000)
+    assert ok2.count() == ok.count()

@@ -318,3 +318,41 @@ def test_mutual_nearest_pairs(spark):
         (r["id_a"], r["id_b"]) for r in mutual_nearest_pairs(emb).collect()
     )
     assert got == [(1, 2), (3, 4)]
+
+
+def test_mutual_nearest_pairs_pluggable_topk(spark):
+    """The topk= seam: LSH-sourced mutual pairs recover a recall floor of
+    the brute mutual pairs (generous tables → near-total recall on this
+    fixture), and a k>1 candidate table is re-reduced to top-1 internally."""
+    import random
+
+    from connected_components_3d_spark.operators.similarity import (
+        cosine_topk_brute,
+        cosine_topk_lsh,
+        mutual_nearest_pairs,
+    )
+
+    rng = random.Random(11)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    brute = {
+        (r["id_a"], r["id_b"]) for r in mutual_nearest_pairs(emb).collect()
+    }
+    lsh_topk = cosine_topk_lsh(emb, k=3, num_planes=3, num_tables=8)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_nearest_pairs(emb, topk=lsh_topk).collect()
+    }
+    assert brute, "fixture must produce mutual pairs"
+    assert len(approx & brute) / len(brute) >= 0.6
+    # passing the brute k=3 table reproduces the default exactly (top-1
+    # re-derivation inside the seam)
+    same = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_nearest_pairs(
+            emb, topk=cosine_topk_brute(emb, k=3)
+        ).collect()
+    }
+    assert same == brute
