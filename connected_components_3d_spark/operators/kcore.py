@@ -56,10 +56,19 @@ def k_core(
     k: int,
     *,
     max_rounds: int = 200,
+    broadcast_drop_rows: int = 4_000_000,
 ) -> KCoreResult:
     """Peel ``edges`` (treated as undirected, self-loops/dups dropped) down
     to the k-core. ``k >= 2``; for k ≤ 1 the k-core is the whole simple
     graph minus isolated vertices, which the same loop returns in 0 rounds.
+
+    Per-round edge filter: an edge survives iff NEITHER endpoint was
+    dropped, so when the round's dropped set fits a broadcast
+    (``broadcast_drop_rows``) the filter is two broadcast ANTI-joins —
+    map-only, preserving the edge table's partitioning, no shuffle.
+    Heavy-tailed graphs drop most mass in round 0 and a trickle after, so
+    all but (at most) the first round take the broadcast path; oversized
+    rounds fall back to shuffle semi-joins against the keep set.
     """
     if k < 0:
         raise ValueError("k_core: k must be non-negative")
@@ -73,6 +82,7 @@ def k_core(
     metrics: list[dict] = []
     converged = False
     rounds = 0
+    prev: DataFrame | None = None
     for rounds in range(max_rounds + 1):
         deg = (
             e.select(F.col("src").alias("vertex"))
@@ -80,32 +90,49 @@ def k_core(
             .groupBy("vertex")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select("vertex")
-        # one scalar action per round: vertices dropped this round
-        dropped = (
-            deg.agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(F.col("deg") >= k, 1).otherwise(0)).alias("kept"),
-            ).collect()[0]
-        )
-        n_dropped = dropped["n"] - (dropped["kept"] or 0)
-        metrics.append(
-            {"round": rounds, "vertices": dropped["n"], "dropped": n_dropped}
-        )
+        # ONE degree job per round: checkpoint the (small) dropped set and
+        # read the convergence scalar off the checkpoint — the deg shuffle
+        # is not recomputed for the scalar, and running it materializes the
+        # lazily-persisted current edge generation, after which the
+        # grandparent generation is safe to release.
+        drop = _truncate(deg.where(F.col("deg") < k).select("vertex"))
+        n_dropped = drop.count()
+        metrics.append({"round": rounds, "dropped": n_dropped})
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if n_dropped == 0:
             converged = True
             break
-        keep = _truncate(keep)
-        nxt = (
-            e.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .repartition(p, "src")
-            .persist()
-        )
-        nxt.count()
-        e.unpersist()
-        e = nxt
+        if n_dropped <= broadcast_drop_rows:
+            nxt = (
+                e.join(
+                    F.broadcast(drop.withColumnRenamed("vertex", "src")),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    F.broadcast(drop.withColumnRenamed("vertex", "dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .select("src", "dst")
+                .persist()
+            )
+        else:
+            keep = _truncate(deg.where(F.col("deg") >= k).select("vertex"))
+            nxt = (
+                e.join(
+                    keep.withColumnRenamed("vertex", "src"), "src", "left_semi"
+                )
+                .join(
+                    keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi"
+                )
+                .select("src", "dst")
+                .repartition(p, "src")
+                .persist()
+            )
+        prev, e = e, nxt
     core = (
         e.select(F.col("src").alias("vertex"))
         .unionAll(e.select(F.col("dst").alias("vertex")))
@@ -152,7 +179,9 @@ def core_numbers(
     TOTAL work is one k_core run per distinct core level, but each level
     starts from the previous level's (smaller) remainder rather than from
     scratch — at web scale the k=2 level removes the long tail and the
-    higher levels run on a fast-shrinking dense core.
+    higher levels run on a fast-shrinking dense core. Like ``k_core``, a
+    round whose dropped set fits a broadcast filters the edge table with
+    two map-only anti-joins instead of shuffle semi-joins.
 
     Output: ``(vertex:long, core:long)``, one row per vertex of the simple
     graph (every edge endpoint; isolated vertices can't appear in an edge
@@ -205,12 +234,42 @@ def core_numbers(
             n_active -= n_drop
             if n_active == 0:
                 break
-            e = _truncate(
-                e.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
-                .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
-                .select("src", "dst")
-                .repartition(p, "src")
-            )
+            if n_drop <= 4_000_000:
+                # dropped set fits a broadcast → filter edges with two
+                # map-only anti-joins (same trick as k_core): no shuffle,
+                # partitioning preserved
+                e = _truncate(
+                    e.join(
+                        F.broadcast(
+                            dropped.withColumnRenamed("vertex", "src")
+                        ),
+                        "src",
+                        "left_anti",
+                    )
+                    .join(
+                        F.broadcast(
+                            dropped.withColumnRenamed("vertex", "dst")
+                        ),
+                        "dst",
+                        "left_anti",
+                    )
+                    .select("src", "dst")
+                )
+            else:
+                e = _truncate(
+                    e.join(
+                        keep.withColumnRenamed("vertex", "src"),
+                        "src",
+                        "left_semi",
+                    )
+                    .join(
+                        keep.withColumnRenamed("vertex", "dst"),
+                        "dst",
+                        "left_semi",
+                    )
+                    .select("src", "dst")
+                    .repartition(p, "src")
+                )
         if n_active == 0:
             break
         k += 1
