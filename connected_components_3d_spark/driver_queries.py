@@ -2272,6 +2272,21 @@ def q_cc_keyed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).components
 
 
+def q_pagerank_keyed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 beyond CC (VERDICT r4 #7): the string-keyed adapter bracketing
+    the PAGERANK kernel — dictionary-encode the 'c:…'→'n:…' star edges,
+    run 5 fixed power iterations on long ids, decode ranks back to keys.
+    Nations are all dangling (outdeg 0), so the dangling-mass
+    redistribution is load-bearing in the hash. Oracle: the _pagerank_sql
+    chained-CTE recurrence run directly on the string keys."""
+    from .operators.keyed import pagerank_keyed
+
+    res = pagerank_keyed(
+        spark, keyed_string_edges(spark, sf_dir), fixed_iters=5
+    )
+    return res.ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
 def q_degree_dist_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O20 on the driver gate: log2-binned total-degree histogram over the
     bipartite graph. Bucket = binary length − 1 (integer-exact; float log2
@@ -3843,10 +3858,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pagerank_sql(iters: int = 5, alpha: float = 0.85) -> str:
+def _pagerank_sql(
+    iters: int = 5, alpha: float = 0.85, edges_sql: str | None = None
+) -> str:
     a = repr(alpha)
     parts = [
-        f"WITH e AS {_BIPARTITE_EDGES_SQL}",
+        f"WITH e AS {edges_sql or _BIPARTITE_EDGES_SQL}",
         "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
         "od AS (SELECT src AS vertex, COUNT(*) AS outdeg FROM e GROUP BY src)",
         "vs AS (SELECT v.vertex, COALESCE(od.outdeg, 0) AS outdeg"
@@ -6350,6 +6367,14 @@ GROUP BY 1, 2""",
         ),
         "host_pagerank_orders": _host_pagerank_sql(5, 0.85),
         "cc_keyed_customers": _CC_KEYED_CUSTOMERS_SQL,
+        # string-keyed PageRank: same recurrence, run directly on the keys
+        "pagerank_keyed_customers": _pagerank_sql(
+            5,
+            0.85,
+            "(SELECT 'c:' || c_custkey::VARCHAR AS src,"
+            " 'n:' || n_name AS dst"
+            " FROM customer JOIN nation ON c_nationkey = n_nationkey)",
+        ),
         "degree_dist_bipartite": _DEGREE_DIST_BIPARTITE_SQL,
         "powerlaw_alpha_bipartite": _POWERLAW_ALPHA_BIPARTITE_SQL,
         # 5 peel rounds per k-level >= the tree+ring fixpoint depths (<= 3
@@ -6876,6 +6901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_docs": q_bm25_docs,
         "lpa_ckpt_tree": q_lpa_ckpt_tree,
         "dbscan_embeddings": q_dbscan_embeddings,
+        "pagerank_keyed_customers": q_pagerank_keyed_customers,
         "pii_docs": q_pii_docs,
         "c4_docs": q_c4_docs,
         "repetition_docs": q_repetition_docs,

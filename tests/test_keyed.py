@@ -95,3 +95,27 @@ def test_keyed_hashmin_matches_blockuf(spark):
     a = _collect(connected_components_keyed(spark, _df(spark, pairs), method="blockuf"))
     b = _collect(connected_components_keyed(spark, _df(spark, pairs), method="hashmin"))
     assert a == b
+
+
+def test_pagerank_keyed_matches_single_node(spark):
+    """Keyed PageRank = the long-id single-node oracle composed with the
+    key mapping (scores are id-free, so any dictionary assignment gives
+    identical ranks)."""
+    from connected_components_3d_spark.operators.keyed import pagerank_keyed
+    from connected_components_3d_spark.operators.pagerank import (
+        pagerank_single_node,
+    )
+
+    pairs = [("u1", "u2"), ("u2", "u3"), ("u3", "u1"), ("u4", "u1"),
+             ("u5", "u1"), ("u5", "u4")]
+    names = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(names)}
+    want = pagerank_single_node(
+        [(idx[a], idx[b]) for a, b in pairs], fixed_iters=4
+    )
+    df = _df(spark, pairs)
+    res = pagerank_keyed(spark, df, fixed_iters=4)
+    got = {r["vertex"]: r["rank"] for r in res.ranks.collect()}
+    assert set(got) == set(names)
+    for n in names:
+        assert abs(got[n] - want[idx[n]]) < 1e-9, n
