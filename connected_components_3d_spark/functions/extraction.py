@@ -24,9 +24,23 @@ from pyspark.sql.types import ArrayType, StringType
 
 # --- pure single-node reference implementation ------------------------------
 
-_RE_SCRIPT = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
+# non-content containers whose INNER TEXT must not leak into the extract:
+# script/style (code), noscript (fallback-only), template (inert DOM),
+# svg/iframe (foreign/embedded content). Paired form first; an UNCLOSED
+# script/style then drops to end-of-document (what a streaming parser does
+# with a truncated page — the common Common-Crawl failure mode).
+_RE_SCRIPT = re.compile(
+    rb"(?is)<(script|style|noscript|template|svg|iframe)\b.*?</\1\s*>"
+)
+_RE_SCRIPT_OPEN = re.compile(rb"(?is)<(?:script|style)\b.*\Z")
 _RE_COMMENT = re.compile(rb"(?s)<!--.*?-->")
-_RE_TAG = re.compile(rb"(?s)<[^>]*>")
+_RE_CDATA = re.compile(rb"(?s)<!\[CDATA\[.*?\]\]>")
+# quoted-attribute-aware tag stripper: '>' inside "..."/'...' attribute
+# values does not terminate the tag (each byte matches exactly one
+# alternative — no backtracking blowup); the plain fallback then catches
+# malformed remnants (unterminated quotes etc.)
+_RE_TAG = re.compile(rb"(?s)<(?:[^<>\"']|\"[^\"]*\"|'[^']*')*>")
+_RE_TAG_FALLBACK = re.compile(rb"(?s)<[^>]*>")
 _RE_WS = re.compile(r"\s+")
 
 _RE_HREF = re.compile(
@@ -35,13 +49,20 @@ _RE_HREF = re.compile(
 
 
 def extract_text_py(html: bytes | None) -> str | None:
-    """Reference extractor: drop script/style/comments, strip tags, unescape
-    entities, collapse whitespace. Pure, deterministic, byte-stable."""
+    """Reference extractor: drop comments/CDATA, drop non-content containers
+    (script/style/noscript/template/svg/iframe, with an unclosed
+    script/style falling through to end-of-document), strip tags
+    (quoted-attribute-aware), unescape entities, collapse whitespace.
+    Pure, deterministic, byte-stable; identical output to the pre-round-5
+    rules on well-formed markup without the newly-handled constructs."""
     if html is None:
         return None
-    raw = _RE_SCRIPT.sub(b" ", html)
-    raw = _RE_COMMENT.sub(b" ", raw)
+    raw = _RE_COMMENT.sub(b" ", html)
+    raw = _RE_CDATA.sub(b" ", raw)
+    raw = _RE_SCRIPT.sub(b" ", raw)
+    raw = _RE_SCRIPT_OPEN.sub(b" ", raw)
     raw = _RE_TAG.sub(b" ", raw)
+    raw = _RE_TAG_FALLBACK.sub(b" ", raw)
     text = raw.decode("utf-8", errors="replace")
     text = _htmlmod.unescape(text)
     return _RE_WS.sub(" ", text).strip()
@@ -71,9 +92,15 @@ def normalize_url(href: str, base_url: str | None) -> str | None:
 def extract_hrefs_py(html: bytes | None, base_url: str | None) -> list[str] | None:
     """Reference href extractor: all <a href=...> targets, normalized,
     de-duplicated preserving first-seen order (order irrelevant downstream —
-    the edge builder applies DISTINCT — but determinism is free)."""
+    the edge builder applies DISTINCT — but determinism is free). Anchors
+    inside comments, CDATA, or script/style bodies are NOT links a browser
+    renders, so those regions are stripped before the scan (same rules as
+    ``extract_text_py``)."""
     if html is None:
         return None
+    html = _RE_COMMENT.sub(b" ", html)
+    html = _RE_CDATA.sub(b" ", html)
+    html = _RE_SCRIPT.sub(b" ", html)
     out: list[str] = []
     seen: set[str] = set()
     for m in _RE_HREF.finditer(html):

@@ -75,3 +75,40 @@ def test_pages_deterministic_under_partitioning(spark):
     ah = a.select(F.md5(F.col("html")).alias("h")).orderBy("h").collect()
     bh = b.select(F.md5(F.col("html")).alias("h")).orderBy("h").collect()
     assert ah == bh
+
+
+def test_extract_text_robustness_rules():
+    """Round-5 parser hardening: CDATA, non-content containers, unclosed
+    script, quoted '>' inside attributes."""
+    # noscript/template/svg/iframe inner text never leaks
+    html = (
+        b"<body>A<noscript>enable js</noscript>"
+        b"<template><p>tpl</p></template>"
+        b"<svg><text>vector</text></svg>"
+        b"<iframe>fallback</iframe>B</body>"
+    )
+    assert extract_text_py(html) == "A B"
+    # CDATA dropped
+    assert extract_text_py(b"x<![CDATA[ <p>raw</p> ]]>y") == "x y"
+    # truncated page: unclosed <script> swallows to end-of-document
+    assert extract_text_py(b"keep<script>var a='leak';") == "keep"
+    # '>' inside a quoted attribute does not terminate the tag
+    assert extract_text_py(b'<a title="a>b">link</a>') == "link"
+    # unterminated quote: fallback stripper still removes the remnant tag
+    assert "href" not in (extract_text_py(b'pre<a href="u>post') or "href")
+    # comment containing a full script block vanishes as one unit
+    assert (
+        extract_text_py(b"t<!-- <script>x</script><p>c</p> -->u") == "t u"
+    )
+
+
+def test_extract_hrefs_skip_dead_regions():
+    html = (
+        b'<a href="http://live.example/a">x</a>'
+        b'<!-- <a href="http://dead.example/c">c</a> -->'
+        b'<script>var s = \'<a href="http://dead.example/s">s</a>\';</script>'
+        b'<![CDATA[<a href="http://dead.example/d">d</a>]]>'
+        b'<a href="http://live.example/b">y</a>'
+    )
+    got = extract_hrefs_py(html, None)
+    assert got == ["http://live.example/a", "http://live.example/b"]
