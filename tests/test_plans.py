@@ -257,3 +257,40 @@ def test_logreg_scoring_is_map_only(spark):
     )
     df = predict_proba(docs, ["x0"], [1.5], -0.5)
     assert exchange_count(df) == 0, explain_str(df)
+
+
+def test_kcore_peel_round_is_broadcast_anti(spark):
+    """Round-5 k-core peel: when the dropped set fits a broadcast, the
+    per-round edge filter is two broadcast ANTI-joins (map-only, no
+    exchange of the edge table) — the plan the peel loop builds internally,
+    audited here on the same construction."""
+    from pyspark.sql import functions as F2
+
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    ).repartition(4, "src").persist()
+    e.count()
+    drop = spark.createDataFrame([(3,), (11,)], "vertex long")
+    drop = drop.localCheckpoint(eager=True)
+    nxt = (
+        e.join(
+            F2.broadcast(drop.withColumnRenamed("vertex", "src")),
+            "src",
+            "left_anti",
+        )
+        .join(
+            F2.broadcast(drop.withColumnRenamed("vertex", "dst")),
+            "dst",
+            "left_anti",
+        )
+        .select("src", "dst")
+    )
+    plan = explain_str(nxt)
+    # AQE explain prints initial+final plans — require both anti-joins
+    # present (>=2), and no sort-merge/shuffled-hash join anywhere
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "LeftAnti" in plan, plan
+    # no shuffle of the edge side: the only exchanges are the two broadcasts
+    assert exchange_count(nxt) == 0, plan
+    e.unpersist()
