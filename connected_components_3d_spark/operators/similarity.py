@@ -43,10 +43,26 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 
 
 def cosine_pairs(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    brute_max_rows: int = 100_000,
 ) -> DataFrame:
     """All ordered pairs (id_a != id_b) with rounded cosine. O(n²) — baseline
-    only; callers at scale go through the LSH path."""
+    only; callers at scale go through the LSH path (``lsh_cosine_pairs``).
+    Refuses inputs above ``brute_max_rows`` (same guard as
+    ``operators.density.dbscan``) so the quadratic cross join can never run
+    silently on a large table — raise the threshold to opt in deliberately.
+    """
+    n = emb.count()
+    if n > brute_max_rows:
+        raise ValueError(
+            f"cosine_pairs: {n} input rows exceed brute_max_rows="
+            f"{brute_max_rows}; this is the O(n²) exact baseline. Use"
+            " lsh_cosine_pairs / cosine_topk_lsh / cosine_topk_ivf at"
+            " scale, or raise brute_max_rows deliberately."
+        )
     base = with_norm(emb, vec_col, id_col)
     a = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
@@ -67,10 +83,16 @@ def cosine_pairs(
 
 
 def cosine_topk_brute(
-    emb: DataFrame, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    brute_max_rows: int = 100_000,
 ) -> DataFrame:
-    """Exact top-k neighbors per vector: (id_a, id_b, cos, rn)."""
-    pairs = cosine_pairs(emb, vec_col, id_col)
+    """Exact top-k neighbors per vector: (id_a, id_b, cos, rn). O(n²)
+    baseline — guarded by ``brute_max_rows`` (see cosine_pairs)."""
+    pairs = cosine_pairs(emb, vec_col, id_col, brute_max_rows=brute_max_rows)
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
@@ -80,9 +102,12 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    brute_max_rows: int = 100_000,
 ) -> DataFrame:
-    """Unordered near-duplicate pairs by cosine ≥ threshold (id_a < id_b)."""
-    return cosine_pairs(emb, vec_col, id_col).where(
+    """Unordered near-duplicate pairs by cosine ≥ threshold (id_a < id_b).
+    O(n²) baseline — guarded by ``brute_max_rows`` (see cosine_pairs)."""
+    return cosine_pairs(emb, vec_col, id_col, brute_max_rows=brute_max_rows).where(
         (F.col("cos") >= threshold) & (F.col("id_a") < F.col("id_b"))
     )
 

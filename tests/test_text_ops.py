@@ -4,6 +4,7 @@ embeddings tables and hand-built fixtures."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from connected_components_3d_spark.functions import text as T
@@ -356,3 +357,26 @@ def test_mutual_nearest_pairs_pluggable_topk(spark):
         ).collect()
     }
     assert same == brute
+
+
+def test_brute_cosine_guard(spark):
+    """The O(n²) baselines refuse oversized inputs unless the threshold is
+    raised deliberately (round-5 scale-safety guard)."""
+    from connected_components_3d_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_topk_brute,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    for fn in (
+        lambda: cosine_pairs(emb, brute_max_rows=10),
+        lambda: cosine_topk_brute(emb, brute_max_rows=10),
+        lambda: embedding_near_dup_pairs(emb, brute_max_rows=10),
+    ):
+        with pytest.raises(ValueError, match="brute_max_rows"):
+            fn()
+    assert cosine_pairs(emb, brute_max_rows=1000).count() == 30 * 29
