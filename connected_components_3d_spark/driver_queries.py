@@ -254,9 +254,14 @@ def _shingle(t: str, n: int) -> str:
 
 
 _SW = {
+    # keep in exact sync with functions/text.py STOPWORDS (lang_id parity)
     "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "mit", "ein", "auf"],
     "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "es": ["de", "la", "que", "el", "en", "y", "los", "se", "del", "las"],
     "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "it": ["di", "che", "la", "il", "un", "per", "una", "sono", "con", "non"],
+    "nl": ["de", "het", "een", "van", "ik", "te", "dat", "die", "op", "zijn"],
+    "pt": ["de", "que", "o", "a", "do", "da", "em", "um", "para", "com"],
 }
 
 
@@ -5165,18 +5170,28 @@ SELECT id, ({total})::BIGINT AS simhash FROM tokd"""
 
 def _text_stats_sql() -> str:
     toks = _TOK.format(c="text")
+    # quality's stop_ratio keeps the ORIGINAL en+de+fr union (unchanged
+    # semantics); lang_pred ranks hits over ALL _SW languages, alphabetical
+    # tie-break — the exact lang_id() rule
     sw_all = _sqllist(_SW["en"] + _SW["de"] + _SW["fr"])
     hits = {
         lang: f"len(list_filter(list_distinct(t), w -> list_contains({_sqllist(ws)}, w)))"
         for lang, ws in _SW.items()
     }
+    langs = sorted(_SW)
+    hit_cols = ", ".join(f"{hits[lg]} AS {lg}_hits" for lg in langs)
+    greatest = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    lang_whens = "\n       ".join(
+        f"WHEN {lg}_hits = {greatest} THEN '{lg}'" for lg in langs[:-1]
+    )
+    last_lang = langs[-1]
     return f"""WITH tok AS (SELECT doc_id, text, {toks} AS t FROM documents),
 feat AS (SELECT doc_id, text, t,
   len(t) AS n_tokens,
   length(text) AS n_chars,
   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe,
   len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-  {hits['de']} AS de_hits, {hits['en']} AS en_hits, {hits['fr']} AS fr_hits,
+  {hit_cols},
   CASE WHEN len(t) > 0 THEN
     COALESCE(list_sum(list_transform(t, w -> length(w)::DOUBLE)), 0.0) / len(t)
   ELSE 0.0 END AS mean_tok,
@@ -5191,9 +5206,8 @@ SELECT doc_id,
   n_tokens::INT AS n_ws,
   n_bpe::INT AS n_bpe,
   CASE WHEN n_tokens = 0 THEN 'und'
-       WHEN de_hits = greatest(de_hits, en_hits, fr_hits) THEN 'de'
-       WHEN en_hits = greatest(de_hits, en_hits, fr_hits) THEN 'en'
-       ELSE 'fr' END AS lang_pred,
+       {lang_whens}
+       ELSE '{last_lang}' END AS lang_pred,
   ROUND(0.4 * least(n_tokens::DOUBLE / 100.0, 1.0)
       + 0.2 * (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 1.0 ELSE 0.5 END)
       + 0.2 * (1.0 - least(punct_ratio * 4.0, 1.0))

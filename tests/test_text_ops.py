@@ -380,3 +380,20 @@ def test_brute_cosine_guard(spark):
         with pytest.raises(ValueError, match="brute_max_rows"):
             fn()
     assert cosine_pairs(emb, brute_max_rows=1000).count() == 30 * 29
+
+
+def test_lang_id_seven_languages(spark):
+    """Round-5 extension: es/it/nl/pt profiles join de/en/fr; alphabetical
+    tie-break is preserved across the whole set."""
+    df = docs_df(
+        spark,
+        [
+            "la casa de los gatos que se ven en el patio",      # es
+            "il cane che corre per una strada con il gatto",    # it
+            "ik heb een boek van de man dat op tafel zijn",     # nl
+            "o gato do jardim em um dia para a casa com sol",   # pt
+            "the cat is in the house and it is warm",           # en
+        ],
+    )
+    got = [r[0] for r in df.select(T.lang_id("text")).collect()]
+    assert got == ["es", "it", "nl", "pt", "en"]
